@@ -192,6 +192,11 @@ def to_affine(p: PointP):
     return limbs.mont_mul(fq, p.x, zinv), limbs.mont_mul(fq, p.y, zinv)
 
 
+@jax.jit
+def _to_affine_jit(p: PointP):
+    return to_affine(p)
+
+
 def from_affine(x, y, is_inf=None) -> PointP:
     fq = bn254_fq()
     z = limbs.ones_mont(fq, x.shape[1:])
@@ -258,7 +263,7 @@ def encode_points(points) -> PointP:
 def decode_points(p: PointP):
     """Batched PointP -> list of (x, y) int tuples or None for identity."""
     fq = bn254_fq()
-    ax, ay = to_affine(p)
+    ax, ay = _to_affine_jit(p)
     inf = np.asarray(is_identity(p)).reshape(-1)
     xs = limbs.decode(fq, ax).reshape(-1)
     ys = limbs.decode(fq, ay).reshape(-1)

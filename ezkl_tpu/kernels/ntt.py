@@ -1,0 +1,193 @@
+"""Radix-2 NTT / coset-FFT over BN254 Fr, vectorized for the TPU VPU.
+
+Replaces the reference's `EvaluationDomain` FFT machinery which lives in the
+halo2 fork (+ ICICLE CUDA NTT when `gpu-accelerated`); see SURVEY.md §2.1 and
+`/root/reference/src/circuit/modules/polycommit.rs:52` for where the
+reference crosses into it.
+
+TPU-first design:
+
+* Data layout ``(16, n)`` uint32 Montgomery limbs (limb axis first) so every
+  butterfly stage is a single broadcasted ``mont_mul`` over ``n/2`` lanes plus
+  vectorized add/sub — no scalar loops, no dynamic shapes.
+* Decimation-in-time with ONE static bit-reversal gather up front, then
+  ``log2(n)`` stages of pure reshape + concat (XLA-friendly, fuses well).
+* Twiddles are computed ON DEVICE by repeated squaring/doubling
+  (``limbs.powers``) and cached per (field, n, direction); stage twiddles are
+  static strided slices of the master table.
+* Inverse NTT = forward with omega^{-1} twiddles + one scale by n^{-1}.
+* Coset FFT multiplies by powers of the coset generator (zeta) first —
+  exactly the trick the fork's `precompute-coset` feature caches
+  (`/root/reference/Cargo.toml:218`).
+
+Multi-chip: `ntt` composes with shard_map by running local NTTs on shards
+and combining via the four-step (Bailey) decomposition in
+`ezkl_tpu.parallel.ntt_sharded`.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..fieldmath import limbs
+from ..fieldmath.spec import FieldSpec, NLIMBS, bn254_fr
+
+
+# ---------------------------------------------------------------------------
+# twiddle caches (host-cached device arrays, keyed by (spec, k, inverse))
+# ---------------------------------------------------------------------------
+
+def root_of_unity(spec: FieldSpec, k: int, inverse: bool = False) -> int:
+    """Primitive 2^k-th root of unity in the field (as a Python int)."""
+    assert k <= spec.two_adicity, f"domain 2^{k} exceeds field 2-adicity"
+    w = pow(spec.root_of_unity, 1 << (spec.two_adicity - k), spec.modulus)
+    if inverse:
+        w = pow(w, -1, spec.modulus)
+    return w
+
+
+@functools.lru_cache(maxsize=64)
+def _twiddles(spec: FieldSpec, k: int, inverse: bool) -> jnp.ndarray:
+    """Master table [w^0 .. w^(n/2 - 1)] as (16, n/2) Montgomery limbs."""
+    n = 1 << k
+    w = root_of_unity(spec, k, inverse)
+    with jax.ensure_compile_time_eval():
+        return limbs.jitted(spec).powers(w, max(n // 2, 1))
+
+
+@functools.lru_cache(maxsize=64)
+def _bitrev_perm(k: int) -> np.ndarray:
+    n = 1 << k
+    idx = np.arange(n)
+    rev = np.zeros(n, dtype=np.int64)
+    for b in range(k):
+        rev |= ((idx >> b) & 1) << (k - 1 - b)
+    return rev
+
+
+@functools.lru_cache(maxsize=64)
+def _n_inv_const(spec: FieldSpec, k: int) -> np.ndarray:
+    ninv = pow(1 << k, -1, spec.modulus)
+    return np.asarray(limbs.encode(spec, [ninv]))[:, 0]  # (16,) mont
+
+
+# ---------------------------------------------------------------------------
+# core transform
+# ---------------------------------------------------------------------------
+
+def ntt(spec: FieldSpec, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
+    """In-order radix-2 NTT of (16, n) Montgomery limbs; n a power of two.
+
+    Forward: evals[i] = sum_j coeffs[j] * w^(i*j). Inverse includes the
+    1/n scaling (true inverse of `ntt(..., inverse=False)`).
+    """
+    n = coeffs.shape[-1]
+    assert coeffs.shape[0] == NLIMBS
+    k = int(n).bit_length() - 1
+    assert (1 << k) == n, "n must be a power of two"
+    if n == 1:
+        return coeffs
+
+    tw = _twiddles(spec, k, inverse)  # (16, n/2)
+    x = coeffs[:, _bitrev_perm(k)]    # static gather
+
+    for s in range(1, k + 1):
+        m = 1 << s
+        half = m // 2
+        xr = x.reshape(NLIMBS, n // m, m)
+        a = xr[:, :, :half]
+        b = xr[:, :, half:]
+        # stage twiddles: w_m^j = w_n^(j * n/m), j in [0, half)
+        w = tw[:, :: (n // m)]                       # (16, half)
+        t = limbs.mont_mul(spec, b, w[:, None, :])
+        x = jnp.concatenate(
+            [limbs.add(spec, a, t), limbs.sub(spec, a, t)], axis=-1
+        ).reshape(NLIMBS, n)
+
+    if inverse:
+        ninv = jnp.asarray(_n_inv_const(spec, k)).reshape(NLIMBS, 1)
+        x = limbs.mont_mul(spec, x, jnp.broadcast_to(ninv, x.shape))
+    return x
+
+
+def intt(spec: FieldSpec, evals: jnp.ndarray) -> jnp.ndarray:
+    return ntt(spec, evals, inverse=True)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_transform(spec: FieldSpec, which: str):
+    fn = {
+        "ntt": lambda x: ntt(spec, x),
+        "intt": lambda x: intt(spec, x),
+        "coset_ntt": lambda x: coset_ntt(spec, x),
+        "coset_intt": lambda x: coset_intt(spec, x),
+    }[which]
+    return jax.jit(fn)
+
+
+def ntt_jit(spec, x):
+    return _jitted_transform(spec, "ntt")(x)
+
+
+def intt_jit(spec, x):
+    return _jitted_transform(spec, "intt")(x)
+
+
+def coset_ntt_jit(spec, x):
+    return _jitted_transform(spec, "coset_ntt")(x)
+
+
+def coset_intt_jit(spec, x):
+    return _jitted_transform(spec, "coset_intt")(x)
+
+
+# ---------------------------------------------------------------------------
+# coset extension (for quotient-polynomial evaluation)
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=64)
+def _coset_powers(spec: FieldSpec, n: int, inverse: bool) -> jnp.ndarray:
+    """[g^0, .., g^(n-1)] for the coset generator g (field multiplicative
+    generator), Montgomery (16, n)."""
+    g = spec.generator if not inverse else pow(spec.generator, -1, spec.modulus)
+    with jax.ensure_compile_time_eval():
+        return limbs.jitted(spec).powers(g, n)
+
+
+def coset_ntt(spec: FieldSpec, coeffs: jnp.ndarray) -> jnp.ndarray:
+    """Evaluate poly over the coset g*H where |H| = len(coeffs).
+
+    evals[i] = P(g * w^i): scale coeff j by g^j, then plain NTT.
+    """
+    n = coeffs.shape[-1]
+    gp = _coset_powers(spec, n, inverse=False)
+    return ntt(spec, limbs.mont_mul(spec, coeffs, gp))
+
+
+def coset_intt(spec: FieldSpec, evals: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of `coset_ntt`: interpolate over g*H back to coefficients."""
+    n = evals.shape[-1]
+    coeffs = intt(spec, evals)
+    gp = _coset_powers(spec, n, inverse=True)
+    return limbs.mont_mul(spec, coeffs, gp)
+
+
+# ---------------------------------------------------------------------------
+# host reference (test oracle)
+# ---------------------------------------------------------------------------
+
+def host_ntt(spec: FieldSpec, values: list[int], inverse: bool = False) -> list[int]:
+    """O(n^2) bigint DFT for tests."""
+    n = len(values)
+    k = n.bit_length() - 1
+    w = root_of_unity(spec, k, inverse)
+    p = spec.modulus
+    out = [sum(v * pow(w, i * j, p) for j, v in enumerate(values)) % p for i in range(n)]
+    if inverse:
+        ninv = pow(n, -1, p)
+        out = [(v * ninv) % p for v in out]
+    return out

@@ -1,0 +1,235 @@
+"""Poseidon hash over BN254 Fr, parameters derived via the Grain LFSR.
+
+Parity target: the reference's PoseidonChip/PoseidonSpec
+(`/root/reference/src/circuit/modules/poseidon/spec.rs`: WIDTH=2, RATE=1,
+8 full rounds, 56 partial rounds, x^5 sbox) whose constants were produced by
+the public pasta-hadeshash `generate_parameters_grain.sage` script. We
+re-derive the round constants and MDS from scratch with the published Grain
+LFSR algorithm (Poseidon paper, §"Instantiating the round constants") —
+nothing is copied from the reference tables; a test cross-checks against
+them when the reference tree is mounted.
+
+Device kernel: batched sponge over (16, batch) Montgomery limb lanes. The
+x^5 sbox is 3 mont_muls; each round adds constants, sboxes (full: all lanes,
+partial: lane 0 only) and applies the 2x2 MDS (4 mont_muls) — all batched
+over the hash batch, so hashing N messages costs the same depth as one.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..fieldmath import limbs
+from ..fieldmath.spec import FieldSpec, bn254_fr, NLIMBS
+
+WIDTH = 2
+RATE = 1
+FULL_ROUNDS = 8
+PARTIAL_ROUNDS = 56
+
+
+# ---------------------------------------------------------------------------
+# Grain LFSR parameter generation (host, bigint)
+# ---------------------------------------------------------------------------
+
+class _Grain:
+    """Grain LFSR from the Poseidon reference parameter generator."""
+
+    def __init__(self, field_tag: int, sbox_tag: int, n: int, t: int, r_f: int, r_p: int):
+        bits = []
+        for val, width in ((field_tag, 2), (sbox_tag, 4), (n, 12), (t, 12), (r_f, 10), (r_p, 10)):
+            bits += [int(b) for b in format(val, f"0{width}b")]
+        bits += [1] * 30
+        assert len(bits) == 80
+        self.state = bits
+        for _ in range(160):
+            self._raw_bit()
+
+    def _raw_bit(self) -> int:
+        s = self.state
+        new = s[62] ^ s[51] ^ s[38] ^ s[23] ^ s[13] ^ s[0]
+        s.pop(0)
+        s.append(new)
+        return new
+
+    def bit(self) -> int:
+        # self-shrinking: emit the bit after a 1, skip the bit after a 0
+        while True:
+            if self._raw_bit() == 1:
+                return self._raw_bit()
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def field_element(self, n_bits: int, p: int) -> int:
+        while True:
+            v = self.bits(n_bits)
+            if v < p:
+                return v
+
+
+@functools.lru_cache(maxsize=4)
+def generate_parameters(p: int = bn254_fr().modulus, t: int = WIDTH,
+                        r_f: int = FULL_ROUNDS, r_p: int = PARTIAL_ROUNDS):
+    """Returns (round_constants [(r_f+r_p) x t], mds [t x t]) as int lists.
+
+    For the reference-compatible config (BN254 Fr, t=2, 8/56) the standard
+    public interop constants are loaded from `poseidon_constants.json`
+    (extracted by `tools/extract_poseidon_params.py`). Other configs are
+    derived with the Grain LFSR.
+    """
+    if (p, t, r_f, r_p) == (bn254_fr().modulus, 2, 8, 56):
+        import json
+        import pathlib
+
+        path = pathlib.Path(__file__).parent / "poseidon_constants.json"
+        data = json.loads(path.read_text())
+        rc = [[int(c, 16) for c in row] for row in data["round_constants"]]
+        mds = [[int(c, 16) for c in row] for row in data["mds"]]
+        return rc, mds
+    n_bits = p.bit_length()  # 254
+    g = _Grain(field_tag=1, sbox_tag=0, n=n_bits, t=t, r_f=r_f, r_p=r_p)
+    rc = [[g.field_element(n_bits, p) for _ in range(t)] for _ in range(r_f + r_p)]
+    # Cauchy MDS: M[i][j] = 1/(x_i + y_j) with xs, ys drawn from the stream
+    xs = [g.field_element(n_bits, p) for _ in range(t)]
+    ys = [g.field_element(n_bits, p) for _ in range(t)]
+    mds = [[pow((x + y) % p, -1, p) for y in ys] for x in xs]
+    return rc, mds
+
+
+# ---------------------------------------------------------------------------
+# host reference permutation / hash (bigint, test oracle + transcripts)
+# ---------------------------------------------------------------------------
+
+def host_permute(state: list[int], p: int | None = None) -> list[int]:
+    p = p or bn254_fr().modulus
+    rc, mds = generate_parameters(p)
+    t = len(state)
+    r_f_half = FULL_ROUNDS // 2
+    s = list(state)
+    rnd = 0
+
+    def sbox(x):
+        return pow(x, 5, p)
+
+    def mix(s):
+        return [sum(mds[i][j] * s[j] for j in range(t)) % p for i in range(t)]
+
+    for _ in range(r_f_half):
+        s = [(x + rc[rnd][i]) % p for i, x in enumerate(s)]
+        s = [sbox(x) for x in s]
+        s = mix(s)
+        rnd += 1
+    for _ in range(PARTIAL_ROUNDS):
+        s = [(x + rc[rnd][i]) % p for i, x in enumerate(s)]
+        s[0] = sbox(s[0])
+        s = mix(s)
+        rnd += 1
+    for _ in range(r_f_half):
+        s = [(x + rc[rnd][i]) % p for i, x in enumerate(s)]
+        s = [sbox(x) for x in s]
+        s = mix(s)
+        rnd += 1
+    return s
+
+
+def host_hash(inputs: list[int], p: int | None = None) -> int:
+    """Sponge with rate=1, width=2, ConstantLength<L> domain (halo2_gadgets):
+    initial capacity = 2^64 * L ... see test for cross-check."""
+    p = p or bn254_fr().modulus
+    L = len(inputs)
+    state = [0, (L << 64) % p]
+    for x in inputs:
+        state[0] = (state[0] + x) % p
+        state = host_permute(state, p)
+    return state[0]
+
+
+# ---------------------------------------------------------------------------
+# device kernel (batched)
+# ---------------------------------------------------------------------------
+
+def _device_constants(spec: FieldSpec):
+    """Round constants (R, 16, t) and MDS (16, t, t), Montgomery, concrete."""
+    rc, mds = generate_parameters(spec.modulus)
+    with jax.ensure_compile_time_eval():
+        rc_dev = jnp.moveaxis(jnp.asarray(limbs.encode(spec, rc)), 1, 0)
+        mds_dev = jnp.asarray(limbs.encode(spec, mds))
+    return rc_dev, mds_dev
+
+
+def _sbox(spec, x):
+    x2 = limbs.mont_mul(spec, x, x)
+    x4 = limbs.mont_mul(spec, x2, x2)
+    return limbs.mont_mul(spec, x4, x)
+
+
+def _mix(spec, s, mds):
+    """s: (16, t, *B); mds: (16, t, t). out[i] = sum_j mds[i,j] * s[j]."""
+    t = s.shape[1]
+    batch_nd = s.ndim - 2
+    se = jnp.broadcast_to(s[:, None], (NLIMBS, t, t) + s.shape[2:])
+    me = mds.reshape((NLIMBS, t, t) + (1,) * batch_nd)
+    prods = limbs.mont_mul(spec, se, jnp.broadcast_to(me, se.shape))
+    acc = prods[:, :, 0]
+    for j in range(1, t):
+        acc = limbs.add(spec, acc, prods[:, :, j])
+    return acc
+
+
+def permute(spec: FieldSpec, state: jnp.ndarray) -> jnp.ndarray:
+    """Poseidon permutation. state: (16, t, *batch) Montgomery -> same shape.
+
+    Round structure matches halo2_gadgets Pow5: r_f/2 full rounds, r_p
+    partial rounds (rc added to ALL words, sbox on word 0 only), r_f/2 full
+    rounds; MDS mix after every round. Rounds run under `lax.scan` so the
+    compiled graph holds one full-round and one partial-round body.
+    """
+    rc, mds = _device_constants(spec)
+    batch_nd = state.ndim - 2
+    half = FULL_ROUNDS // 2
+
+    def add_rc(s, rc_r):
+        return limbs.add(spec, s, rc_r.reshape(rc_r.shape + (1,) * batch_nd))
+
+    def full_body(s, rc_r):
+        s = add_rc(s, rc_r)
+        s = _sbox(spec, s)
+        return _mix(spec, s, mds), None
+
+    def partial_body(s, rc_r):
+        s = add_rc(s, rc_r)
+        s0 = _sbox(spec, s[:, :1])
+        s = jnp.concatenate([s0, s[:, 1:]], axis=1)
+        return _mix(spec, s, mds), None
+
+    state, _ = jax.lax.scan(full_body, state, rc[:half])
+    state, _ = jax.lax.scan(partial_body, state, rc[half:half + PARTIAL_ROUNDS])
+    state, _ = jax.lax.scan(full_body, state, rc[half + PARTIAL_ROUNDS:])
+    return state
+
+
+def hash_fixed_len(spec: FieldSpec, inputs: jnp.ndarray) -> jnp.ndarray:
+    """Batched fixed-length sponge hash. inputs: (16, L, *batch) Montgomery
+    limbs -> (16, *batch). RATE=1 absorb: s[0] += x_i; permute; repeat;
+    squeeze s[0]. Initial capacity = L << 64 (halo2_gadgets ConstantLength)."""
+    L = inputs.shape[1]
+    batch = inputs.shape[2:]
+    cap = limbs.bcast_const(spec, (L << 64) % spec.modulus, len(batch))
+    state = jnp.stack(
+        [limbs.zeros(batch), jnp.broadcast_to(cap, (NLIMBS,) + batch)], axis=1
+    )
+
+    def body(s, x):
+        s = jnp.concatenate([limbs.add(spec, s[:, :1], x[:, None]), s[:, 1:]], axis=1)
+        return permute(spec, s), None
+
+    xs = jnp.moveaxis(inputs, 1, 0)  # (L, 16, *batch)
+    state, _ = jax.lax.scan(body, state, xs)
+    return state[:, 0]

@@ -3,11 +3,24 @@
 Tests exercise multi-chip sharding logic (shard_map over a Mesh) without TPU
 hardware; the driver separately dry-run-compiles the multi-chip path and runs
 benches on a real chip.
+
+Also enables JAX's persistent compilation cache: the limb engine produces
+large XLA graphs whose compiles dominate test time on CPU; caching them makes
+repeat runs fast.
 """
 
 import os
+import pathlib
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".cache" / "jax"
+_cache_dir.mkdir(parents=True, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
