@@ -74,6 +74,30 @@ def decode(spec: FieldSpec, limbs, mont: bool = True) -> np.ndarray:
     return out.reshape(batch)
 
 
+def encode_i64(spec: FieldSpec, xs: np.ndarray) -> np.ndarray:
+    """Vectorized int64 ndarray -> (16, *shape) RAW (non-Montgomery) limbs.
+
+    Negative values map to p - |x|. This is the witness-generation fast path
+    (quantized model values are i64); full-width ints use `encode`.
+    """
+    xs = np.asarray(xs, dtype=np.int64)
+    mag = np.abs(xs).astype(np.uint64)
+    out = np.zeros((NLIMBS,) + xs.shape, np.uint32)
+    for i in range(4):
+        out[i] = ((mag >> np.uint64(16 * i)) & np.uint64(0xFFFF)).astype(np.uint32)
+    neg = xs < 0
+    if np.any(neg):
+        # p - mag, little-endian borrow subtract (vectorized)
+        p_limbs = spec.mod_limbs.astype(np.int64)
+        borrow = np.zeros(xs.shape, np.int64)
+        for i in range(NLIMBS):
+            d = p_limbs[i] - out[i].astype(np.int64) - borrow
+            borrow = (d < 0).astype(np.int64)
+            d = np.where(d < 0, d + (1 << LIMB_BITS), d)
+            out[i] = np.where(neg, d.astype(np.uint32), out[i])
+    return out
+
+
 def const(spec: FieldSpec, value: int, mont: bool = True) -> jnp.ndarray:
     """A single field constant as a (16,) limb vector (broadcastable)."""
     v = value % spec.modulus
@@ -354,6 +378,23 @@ def batch_inv(spec: FieldSpec, a):
     right = jnp.concatenate([suffix[..., 1:], pad], axis=-1)
     out = mont_mul(spec, mont_mul(spec, left, right), total_inv[..., None])
     return select(zero_mask, jnp.zeros_like(out), out)
+
+
+def powers_dynamic(spec: FieldSpec, base: jnp.ndarray, n: int) -> jnp.ndarray:
+    """[1, b, .., b^(n-1)] as (16, n) from a TRACED (16,) Montgomery base.
+
+    Doubling construction (log n mont_muls), safe to jit with static n —
+    use for per-proof challenge points where `powers`' static base would
+    recompile."""
+    arr = ones_mont(spec, (1,))
+    pw = base[:, None]
+    m = 1
+    while m < n:
+        arr = jnp.concatenate(
+            [arr, mont_mul(spec, arr, jnp.broadcast_to(pw, arr.shape))], axis=-1)
+        pw = mont_sqr(spec, pw)
+        m *= 2
+    return arr[:, :n]
 
 
 def powers(spec: FieldSpec, base_int: int, n: int) -> jnp.ndarray:

@@ -80,7 +80,8 @@ def _n_inv_const(spec: FieldSpec, k: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 def ntt(spec: FieldSpec, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
-    """In-order radix-2 NTT of (16, n) Montgomery limbs; n a power of two.
+    """In-order radix-2 NTT along the LAST axis of (16, *batch, n) Montgomery
+    limbs; n a power of two.
 
     Forward: evals[i] = sum_j coeffs[j] * w^(i*j). Inverse includes the
     1/n scaling (true inverse of `ntt(..., inverse=False)`).
@@ -91,25 +92,27 @@ def ntt(spec: FieldSpec, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndar
     assert (1 << k) == n, "n must be a power of two"
     if n == 1:
         return coeffs
+    bdims = coeffs.ndim - 2  # batch dims between limb axis and data axis
 
     tw = _twiddles(spec, k, inverse)  # (16, n/2)
-    x = coeffs[:, _bitrev_perm(k)]    # static gather
+    x = coeffs[..., _bitrev_perm(k)]  # static gather
 
     for s in range(1, k + 1):
         m = 1 << s
         half = m // 2
-        xr = x.reshape(NLIMBS, n // m, m)
-        a = xr[:, :, :half]
-        b = xr[:, :, half:]
+        xr = x.reshape(x.shape[:-1] + (n // m, m))
+        a = xr[..., :half]
+        b = xr[..., half:]
         # stage twiddles: w_m^j = w_n^(j * n/m), j in [0, half)
         w = tw[:, :: (n // m)]                       # (16, half)
-        t = limbs.mont_mul(spec, b, w[:, None, :])
+        wb = w.reshape((NLIMBS,) + (1,) * (bdims + 1) + (half,))
+        t = limbs.mont_mul(spec, b, wb)
         x = jnp.concatenate(
             [limbs.add(spec, a, t), limbs.sub(spec, a, t)], axis=-1
-        ).reshape(NLIMBS, n)
+        ).reshape(x.shape)
 
     if inverse:
-        ninv = jnp.asarray(_n_inv_const(spec, k)).reshape(NLIMBS, 1)
+        ninv = jnp.asarray(_n_inv_const(spec, k)).reshape((NLIMBS,) + (1,) * (bdims + 1))
         x = limbs.mont_mul(spec, x, jnp.broadcast_to(ninv, x.shape))
     return x
 
@@ -165,6 +168,7 @@ def coset_ntt(spec: FieldSpec, coeffs: jnp.ndarray) -> jnp.ndarray:
     """
     n = coeffs.shape[-1]
     gp = _coset_powers(spec, n, inverse=False)
+    gp = gp.reshape((NLIMBS,) + (1,) * (coeffs.ndim - 2) + (n,))
     return ntt(spec, limbs.mont_mul(spec, coeffs, gp))
 
 
@@ -173,6 +177,7 @@ def coset_intt(spec: FieldSpec, evals: jnp.ndarray) -> jnp.ndarray:
     n = evals.shape[-1]
     coeffs = intt(spec, evals)
     gp = _coset_powers(spec, n, inverse=True)
+    gp = gp.reshape((NLIMBS,) + (1,) * (evals.ndim - 2) + (n,))
     return limbs.mont_mul(spec, coeffs, gp)
 
 

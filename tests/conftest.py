@@ -12,12 +12,16 @@ repeat runs fast.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the driver env may point at a TPU
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
+
+# sitecustomize may have imported jax already (axon PJRT hook), in which case
+# the env var above was read too early — force the config directly.
+jax.config.update("jax_platforms", "cpu")
 
 _cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".cache" / "jax"
 _cache_dir.mkdir(parents=True, exist_ok=True)

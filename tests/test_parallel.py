@@ -1,0 +1,61 @@
+"""Sharded MSM / four-step NTT on the 8-device virtual CPU mesh."""
+
+import random
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ezkl_tpu.fieldmath import limbs, curve, hostcurve
+from ezkl_tpu.fieldmath.spec import bn254_fr
+from ezkl_tpu.kernels import ntt as nttmod
+from ezkl_tpu.parallel import sharded
+
+FR = bn254_fr()
+rng = random.Random(42)
+
+
+def test_mesh_has_8_devices():
+    mesh = sharded.make_mesh()
+    assert mesh.devices.size == 8
+
+
+def test_msm_sharded_matches_host():
+    n = 32
+    pts_host = [hostcurve.g1_mul(hostcurve.G1, rng.randrange(1, 1 << 28)) for _ in range(n)]
+    scalars = [rng.randrange(FR.modulus) for _ in range(n)]
+    mesh = sharded.make_mesh()
+    pts = curve.encode_points(pts_host)
+    sc = jnp.asarray(limbs.encode(FR, scalars, mont=False))
+    out = sharded.msm_sharded(mesh, pts, sc, c=4)
+    got = curve.decode_points(jax.tree.map(lambda a: a[:, None], out))[0]
+    assert got == hostcurve.g1_msm(pts_host, scalars)
+
+
+def test_ntt_sharded_matches_single():
+    k = 8
+    n = 1 << k
+    R = C = 16
+    vals = [rng.randrange(FR.modulus) for _ in range(n)]
+    dev = jnp.asarray(limbs.encode(FR, vals))
+    mesh = sharded.make_mesh()
+    mat = sharded.to_fourstep_layout(dev, R, C)
+    out = sharded.ntt_sharded(mesh, FR, mat)
+    flat = sharded.from_fourstep_layout(out)
+    want = list(limbs.decode(FR, nttmod.ntt_jit(FR, dev)))
+    assert list(limbs.decode(FR, flat)) == want
+
+
+def test_ntt_sharded_inverse_roundtrip():
+    n, R, C = 256, 16, 16
+    vals = [rng.randrange(FR.modulus) for _ in range(n)]
+    dev = jnp.asarray(limbs.encode(FR, vals))
+    mesh = sharded.make_mesh()
+    fwd = sharded.ntt_sharded(mesh, FR, sharded.to_fourstep_layout(dev, R, C))
+    # evals natural (16, n) -> relayout -> inverse
+    evals = sharded.from_fourstep_layout(fwd)
+    back = sharded.ntt_sharded(
+        mesh, FR, sharded.to_fourstep_layout(evals, R, C), inverse=True
+    )
+    flat = sharded.from_fourstep_layout(back)
+    assert list(limbs.decode(FR, flat)) == vals
