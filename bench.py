@@ -26,7 +26,7 @@ def main():
     from ezkl_tpu.kernels import msm as msmmod
 
     fr = bn254_fr()
-    n = int(os.environ.get("BENCH_N", str(1 << 16)))
+    n = int(os.environ.get("BENCH_N", str(1 << 14)))
     c = int(os.environ.get("BENCH_C", "0")) or None
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 

@@ -1,0 +1,151 @@
+"""CLI — mirror of the reference's `ezkl <subcommand>` surface
+(`/root/reference/src/commands.rs:390-740` — SURVEY.md L7).
+
+    python -m ezkl_tpu gen-settings -M network.onnx
+    python -m ezkl_tpu calibrate-settings -M network.onnx -D input.json
+    python -m ezkl_tpu compile-circuit -M network.onnx -S settings.json
+    python -m ezkl_tpu gen-witness -M model.compiled -D input.json
+    python -m ezkl_tpu mock -M model.compiled -D input.json
+    python -m ezkl_tpu gen-srs --srs-path kzg14.srs --logrows 14
+    python -m ezkl_tpu setup -M model.compiled -D input.json
+    python -m ezkl_tpu prove -M model.compiled -D input.json
+    python -m ezkl_tpu verify
+    python -m ezkl_tpu table -M network.onnx
+    python -m ezkl_tpu gen-random-data -M network.onnx -D input.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+from . import api
+from .graph.run_args import RunArgs
+
+
+def _add_run_args(p):
+    p.add_argument("--input-scale", type=int, default=None)
+    p.add_argument("--param-scale", type=int, default=None)
+    p.add_argument("--logrows", type=int, default=None)
+    p.add_argument("--lookup-range", type=str, default=None,
+                   help="min,max (e.g. -32768,32768)")
+    p.add_argument("--input-visibility", default=None)
+    p.add_argument("--output-visibility", default=None)
+    p.add_argument("--param-visibility", default=None)
+    p.add_argument("--scale-rebase-multiplier", type=int, default=None)
+
+
+def _run_args_from(ns) -> RunArgs:
+    ra = RunArgs()
+    if ns.input_scale is not None:
+        ra.input_scale = ns.input_scale
+        ra.param_scale = ns.input_scale
+    if ns.param_scale is not None:
+        ra.param_scale = ns.param_scale
+    if ns.logrows is not None:
+        ra.logrows = ns.logrows
+    if ns.lookup_range:
+        lo, hi = ns.lookup_range.split(",")
+        ra.lookup_range = (int(lo), int(hi))
+    for name in ("input_visibility", "output_visibility", "param_visibility"):
+        v = getattr(ns, name)
+        if v is not None:
+            setattr(ra, name, v.lower())
+    if ns.scale_rebase_multiplier is not None:
+        ra.scale_rebase_multiplier = ns.scale_rebase_multiplier
+    return ra.validate()
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="ezkl-tpu",
+                                 description="TPU-native ZKML proving (ezkl-compatible pipeline)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    def cmd(name, **kw):
+        p = sub.add_parser(name, **kw)
+        p.add_argument("-M", "--model", default="network.onnx")
+        p.add_argument("-D", "--data", default="input.json")
+        p.add_argument("-S", "--settings-path", default="settings.json")
+        p.add_argument("--compiled-circuit", default="model.compiled")
+        p.add_argument("--srs-path", default=None)
+        p.add_argument("--vk-path", default="vk.key")
+        p.add_argument("--pk-path", default="pk.key")
+        p.add_argument("--proof-path", default="proof.json")
+        p.add_argument("-O", "--output", default=None)
+        return p
+
+    p = cmd("gen-settings")
+    _add_run_args(p)
+    p = cmd("calibrate-settings")
+    p.add_argument("--target", default="resources", choices=["resources", "accuracy"])
+    p.add_argument("--scales", default=None, help="comma-separated candidates")
+    cmd("compile-circuit")
+    cmd("gen-witness")
+    cmd("mock")
+    p = cmd("gen-srs")
+    p.add_argument("--logrows", type=int, required=True)
+    p = cmd("get-srs")
+    p.add_argument("--logrows", type=int, default=None)
+    cmd("setup")
+    cmd("prove")
+    cmd("verify")
+    p = cmd("table")
+    _add_run_args(p)
+    p = cmd("gen-random-data")
+    p.add_argument("--seed", type=int, default=0)
+
+    ns = ap.parse_args(argv)
+    t0 = time.time()
+    c = ns.cmd
+
+    if c == "gen-settings":
+        s = api.gen_settings(ns.model, ns.settings_path, _run_args_from(ns))
+        print(f"settings written to {ns.settings_path} "
+              f"(rows={s.num_rows}, k={s.run_args.logrows})")
+    elif c == "calibrate-settings":
+        scales = [int(x) for x in ns.scales.split(",")] if ns.scales else None
+        s = api.calibrate_settings(ns.model, ns.data, ns.settings_path,
+                                   target=ns.target, scales=scales)
+        print(f"calibrated: scale={s.run_args.input_scale}, k={s.run_args.logrows}")
+    elif c == "compile-circuit":
+        out = api.compile_circuit(ns.model, ns.settings_path,
+                                  ns.output or ns.compiled_circuit)
+        print(f"compiled -> {out}")
+    elif c == "gen-witness":
+        w = api.gen_witness(ns.model if ns.model != "network.onnx" else ns.compiled_circuit,
+                            ns.data, ns.output or "witness.json")
+        print(json.dumps(w["pretty_elements"], indent=1))
+    elif c == "mock":
+        ok = api.mock(ns.model if ns.model != "network.onnx" else ns.compiled_circuit,
+                      ns.data)
+        print("mock OK" if ok else "mock FAILED")
+        sys.exit(0 if ok else 1)
+    elif c == "gen-srs":
+        api.gen_srs(ns.srs_path or f"kzg{ns.logrows}.srs", ns.logrows)
+        print(f"srs written ({time.time() - t0:.1f}s)")
+    elif c == "get-srs":
+        s = api.get_srs(ns.settings_path, ns.logrows, ns.srs_path)
+        print(f"srs ready (k={s.k})")
+    elif c == "setup":
+        api.setup(ns.model if ns.model != "network.onnx" else ns.compiled_circuit,
+                  ns.data, ns.srs_path, ns.vk_path, ns.pk_path)
+        print(f"keys written ({time.time() - t0:.1f}s)")
+    elif c == "prove":
+        api.prove(ns.model if ns.model != "network.onnx" else ns.compiled_circuit,
+                  ns.data, ns.pk_path, ns.srs_path, ns.proof_path)
+        print(f"proof written to {ns.proof_path} ({time.time() - t0:.1f}s)")
+    elif c == "verify":
+        ok = api.verify(ns.proof_path, ns.vk_path, ns.srs_path, ns.settings_path)
+        print("verified" if ok else "VERIFICATION FAILED")
+        sys.exit(0 if ok else 1)
+    elif c == "table":
+        print(api.table(ns.model, _run_args_from(ns)))
+    elif c == "gen-random-data":
+        api.gen_random_data(ns.model, ns.output or ns.data, ns.seed)
+        print(f"random data -> {ns.output or ns.data}")
+
+
+if __name__ == "__main__":
+    main()

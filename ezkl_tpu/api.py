@@ -1,0 +1,238 @@
+"""File-oriented public API — the mirror of the reference's Python bindings
+(`/root/reference/src/bindings/python.rs`, ~25 functions wrapping the CLI
+pipeline — SURVEY.md L8). Every stage reads/writes artifacts so pipelines
+are restartable (the reference's checkpoint model, SURVEY.md §5).
+
+Artifact files:
+  settings.json    GraphSettings (run_args + sizing)
+  model.compiled   compiled circuit (onnx bytes + settings, JSON/base64)
+  witness.json     quantized inputs/outputs (field hex) + rescaled floats
+  pk.key / vk.key  pickled proving/verifying keys
+  proof.json       proof (points/evals/instances, hex JSON)
+  kzg{k}.srs       SRS (see plonk/srs.py)
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import pathlib
+import pickle
+
+import numpy as np
+
+from .graph.circuit import GraphCircuit, GraphSettings
+from .graph.model import Model, forward_float
+from .graph.run_args import RunArgs
+from .graph import onnx_parser
+from .plonk import keygen as keygen_mod, prover as prover_mod, srs as srsmod
+from .plonk import mock as mock_mod, verifier as verifier_mod
+from .plonk.prover import Proof
+
+DEFAULT = {
+    "model": "network.onnx",
+    "settings": "settings.json",
+    "compiled": "model.compiled",
+    "witness": "witness.json",
+    "srs": None,
+    "pk": "pk.key",
+    "vk": "vk.key",
+    "proof": "proof.json",
+    "input": "input.json",
+}
+
+
+def _load_input(data_path) -> list[np.ndarray]:
+    d = json.loads(pathlib.Path(data_path).read_text())
+    arrays = [np.asarray(x, dtype=np.float64) for x in d["input_data"]]
+    shapes = d.get("input_shapes")
+    if shapes:
+        arrays = [a.reshape([-1] + list(s)[0:]) if False else a.reshape(s)
+                  for a, s in zip(arrays, shapes)]
+    return arrays
+
+
+def gen_settings(model_path, output="settings.json", run_args: RunArgs | None = None,
+                 input_path=None) -> GraphSettings:
+    ra = run_args or RunArgs()
+    gc = GraphCircuit.from_onnx(model_path, ra)
+    sample = None
+    if input_path:
+        sample = _reshape_for(gc, _load_input(input_path))
+    s = gc.gen_settings(sample)
+    pathlib.Path(output).write_text(s.to_json())
+    return s
+
+
+def _reshape_for(gc: GraphCircuit, arrays):
+    shapes = gc.model.input_shapes()
+    return [np.asarray(a, np.float64).reshape(s) for a, s in zip(arrays, shapes)]
+
+
+def calibrate_settings(model_path, input_path, settings_path="settings.json",
+                       target="resources", scales=None) -> GraphSettings:
+    """Grid-search input/param scales (the reference's calibrate loop,
+    `execute.rs:889-1278`). target: resources (min k) | accuracy."""
+    base = GraphSettings.from_json(pathlib.Path(settings_path).read_text())
+    scales = scales or [4, 5, 6, 7, 8, 10]
+    best = None
+    data = json.loads(pathlib.Path(input_path).read_text())
+    for s in scales:
+        ra = RunArgs.from_dict({**base.run_args.to_dict(),
+                                "input_scale": s, "param_scale": s})
+        # widen lookup range with scale
+        span = max(2 ** (2 * s + 3), 2 ** 12)
+        ra.lookup_range = (-span, span)
+        try:
+            gc = GraphCircuit.from_onnx(model_path, ra)
+            arrays = _reshape_for(gc, [np.asarray(x, np.float64)
+                                       for x in data["input_data"]])
+            st = gc.gen_settings(arrays)
+            w = gc.gen_witness(arrays)
+            got = np.concatenate([np.asarray(o).reshape(-1)
+                                  for o in w["pretty_elements"]["rescaled_outputs"]])
+            want = np.concatenate([o.reshape(-1) for o in
+                                   forward_float(gc.model, arrays)])
+            denom = np.maximum(np.abs(want), 1.0)
+            err = float(np.mean(np.abs(got - want) / denom))
+            k = st.run_args.logrows
+        except (ValueError, OverflowError, NotImplementedError):
+            continue
+        score = (k, err) if target == "resources" else (err, k)
+        if best is None or score < best[0]:
+            best = (score, st)
+    if best is None:
+        raise ValueError("calibration failed for all scale candidates")
+    st = best[1]
+    pathlib.Path(settings_path).write_text(st.to_json())
+    return st
+
+
+def compile_circuit(model_path, settings_path="settings.json",
+                    output="model.compiled"):
+    onnx_bytes = pathlib.Path(model_path).read_bytes()
+    settings = pathlib.Path(settings_path).read_text()
+    blob = json.dumps({
+        "onnx_b64": base64.b64encode(onnx_bytes).decode(),
+        "settings": json.loads(settings),
+    })
+    pathlib.Path(output).write_text(blob)
+    return output
+
+
+def load_compiled(compiled_path) -> GraphCircuit:
+    d = json.loads(pathlib.Path(compiled_path).read_text())
+    settings = GraphSettings.from_json(json.dumps(d["settings"]))
+    onnx_bytes = base64.b64decode(d["onnx_b64"])
+    model = Model(onnx=onnx_parser.load(onnx_bytes), run_args=settings.run_args)
+    return GraphCircuit(model)
+
+
+def gen_witness(compiled_path, input_path, output="witness.json") -> dict:
+    gc = load_compiled(compiled_path)
+    arrays = _reshape_for(gc, _load_input(input_path))
+    w = gc.gen_witness(arrays)
+    pathlib.Path(output).write_text(json.dumps(w, indent=1))
+    return w
+
+
+def mock(compiled_path, input_path) -> bool:
+    gc = load_compiled(compiled_path)
+    arrays = _reshape_for(gc, _load_input(input_path))
+    fails = gc.mock_prove(arrays)
+    if fails:
+        for f in fails[:10]:
+            print(f"  {f}")
+    return not fails
+
+
+def gen_srs(srs_path, logrows: int):
+    s = srsmod.gen_srs(logrows)
+    srsmod.save(s, srs_path)
+    return srs_path
+
+
+def get_srs(settings_path="settings.json", logrows=None, srs_path=None):
+    if logrows is None:
+        st = GraphSettings.from_json(pathlib.Path(settings_path).read_text())
+        logrows = st.run_args.logrows
+    s = srsmod.get_or_create(logrows)
+    if srs_path:
+        srsmod.save(s, srs_path)
+    return s
+
+
+def setup(compiled_path, input_path, srs_path=None, vk_path="vk.key",
+          pk_path="pk.key"):
+    """Keygen. Needs representative input for the layout pass (our circuits
+    fix the row layout per compiled model, like the reference's compiled
+    artifact)."""
+    gc = load_compiled(compiled_path)
+    arrays = _reshape_for(gc, _load_input(input_path))
+    s = _srs_for(gc, srs_path)
+    pk, _ = gc.setup(arrays, s)
+    pathlib.Path(pk_path).write_bytes(pickle.dumps(pk))
+    pathlib.Path(vk_path).write_bytes(pickle.dumps(pk.vk))
+    return pk
+
+
+def _srs_for(gc: GraphCircuit, srs_path):
+    if srs_path and pathlib.Path(srs_path).exists():
+        s = srsmod.load(srs_path)
+    else:
+        s = srsmod.get_or_create(gc.run_args.logrows)
+    if s.k > gc.run_args.logrows:
+        s = srsmod.truncate(s, gc.run_args.logrows)
+    assert s.k == gc.run_args.logrows, f"srs k={s.k} != logrows {gc.run_args.logrows}"
+    return s
+
+
+def prove(compiled_path, input_path, pk_path="pk.key", srs_path=None,
+          proof_path="proof.json"):
+    gc = load_compiled(compiled_path)
+    arrays = _reshape_for(gc, _load_input(input_path))
+    s = _srs_for(gc, srs_path)
+    pk = pickle.loads(pathlib.Path(pk_path).read_bytes())
+    proof, _ = gc.prove(arrays, s, pk=pk)
+    pathlib.Path(proof_path).write_text(proof.to_json())
+    return proof
+
+
+def verify(proof_path="proof.json", vk_path="vk.key", srs_path=None,
+           settings_path=None) -> bool:
+    vk = pickle.loads(pathlib.Path(vk_path).read_bytes())
+    if srs_path and pathlib.Path(srs_path).exists():
+        s = srsmod.load(srs_path)
+    else:
+        s = srsmod.get_or_create(vk.k)
+    proof = Proof.from_json(pathlib.Path(proof_path).read_text())
+    return verifier_mod.verify(vk, s.g2, s.s_g2, proof)
+
+
+def gen_random_data(model_path, output="input.json", seed=0):
+    gc = GraphCircuit.from_onnx(model_path, RunArgs())
+    rng = np.random.default_rng(seed)
+    shapes = gc.model.input_shapes()
+    data = {
+        "input_shapes": [list(s) for s in shapes],
+        "input_data": [rng.standard_normal(s).tolist() for s in shapes],
+    }
+    pathlib.Path(output).write_text(json.dumps(data, indent=1))
+    return data
+
+
+def poseidon_hash(values: list[int]) -> int:
+    """Native Poseidon hash of field elements (reference
+    `bindings/python.rs:510`)."""
+    from .kernels.poseidon import host_hash
+    return host_hash([int(v) for v in values])
+
+
+def table(model_path, run_args: RunArgs | None = None) -> str:
+    """Human-readable op summary (reference `Commands::Table`)."""
+    m = Model.load(model_path, run_args or RunArgs())
+    lines = ["| idx | opkind | inputs | outputs |",
+             "|-----|--------|--------|---------|"]
+    for i, node in enumerate(m.onnx.graph.nodes):
+        lines.append(f"| {i} | {node.op_type} | {node.inputs} | {node.outputs} |")
+    return "\n".join(lines)

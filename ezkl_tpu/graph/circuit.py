@@ -1,0 +1,177 @@
+"""GraphCircuit: settings, witness, and the prove/verify pipeline glue.
+
+Mirror of the reference's `GraphCircuit`/`GraphSettings`/`GraphWitness`
+(`/root/reference/src/graph/mod.rs` — SURVEY.md §2.2) on top of our plonk
+engine. Artifacts are JSON files shaped like ezkl's where practical:
+settings.json (run_args + sizing), witness.json (inputs/outputs as field
+hex + rescaled floats), proof.json.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+import numpy as np
+
+from ..fieldmath.spec import FR_MODULUS
+from ..plonk import keygen, mock, prover, srs as srsmod, verifier
+from .layout import BaseConfig, LayoutCtx, TVal
+from .model import Model
+from .quantize import dequantize
+from .run_args import RunArgs
+
+MIN_LOGROWS = 6
+
+
+def _felt_hex(v: int) -> str:
+    return "0x" + int(v % FR_MODULUS).to_bytes(32, "big").hex()
+
+
+def _felt_from_i64(x: int) -> int:
+    return x % FR_MODULUS
+
+
+@dataclasses.dataclass
+class GraphSettings:
+    run_args: RunArgs
+    num_rows: int
+    total_assignments: int
+    model_input_scales: list
+    model_output_scales: list
+    model_instance_shapes: list
+    required_lookups: list
+    version: str = "ezkl-tpu-0.1"
+
+    def to_json(self) -> str:
+        return json.dumps({
+            "run_args": self.run_args.to_dict(),
+            "num_rows": self.num_rows,
+            "total_assignments": self.total_assignments,
+            "model_input_scales": self.model_input_scales,
+            "model_output_scales": self.model_output_scales,
+            "model_instance_shapes": self.model_instance_shapes,
+            "required_lookups": self.required_lookups,
+            "version": self.version,
+        }, indent=1)
+
+    @classmethod
+    def from_json(cls, s: str) -> "GraphSettings":
+        d = json.loads(s)
+        return cls(
+            run_args=RunArgs.from_dict(d["run_args"]),
+            num_rows=d["num_rows"],
+            total_assignments=d.get("total_assignments", d["num_rows"]),
+            model_input_scales=d["model_input_scales"],
+            model_output_scales=d["model_output_scales"],
+            model_instance_shapes=d["model_instance_shapes"],
+            required_lookups=d.get("required_lookups", []),
+            version=d.get("version", "?"),
+        )
+
+
+class GraphCircuit:
+    def __init__(self, model: Model):
+        self.model = model
+        self.run_args = model.run_args
+
+    @classmethod
+    def from_onnx(cls, path, run_args: RunArgs | None = None) -> "GraphCircuit":
+        return cls(Model.load(path, run_args or RunArgs()))
+
+    # -- layout/witness -----------------------------------------------------
+
+    def _run_layout(self, input_arrays, k: int):
+        cfg = BaseConfig()
+        ctx = LayoutCtx(cfg, k)
+        outputs = self.model.layout(ctx, input_arrays)
+        # public outputs -> instance copies
+        if self.run_args.output_visibility == "public":
+            for tv in outputs:
+                flat = tv.ints.reshape(-1)
+                base = len(ctx.instance_vals)
+                ctx.instance_vals.extend(_felt_from_i64(int(x)) for x in flat)
+                inst_rows = np.arange(base, base + flat.size)
+                ctx.copy_rows(cfg.instance, inst_rows, tv.span.col,
+                              tv.span.rows)
+        return cfg, ctx, outputs
+
+    def gen_settings(self, sample_inputs=None, logrows: int | None = None) -> GraphSettings:
+        """Build settings by a sizing layout pass (the reference's dummy
+        pass + calc_min_logrows, `graph/mod.rs:1549-1731`)."""
+        ra = self.run_args
+        inputs = sample_inputs or [np.zeros(s, np.float64)
+                                   for s in self.model.input_shapes()]
+        probe_k = max(ra.logrows, 17)
+        cfg, ctx, outputs = self._run_layout(inputs, probe_k)
+        table_rows = max(
+            (info["inputs"].size for info in cfg.tables.values()), default=0)
+        need = max(ctx.row + 1, table_rows + 1,
+                   len(ctx.instance_vals) + 1)
+        min_k = max(MIN_LOGROWS, (need - 1).bit_length())
+        k = logrows if logrows is not None else min_k
+        ra.logrows = k
+        return GraphSettings(
+            run_args=ra,
+            num_rows=ctx.row,
+            total_assignments=ctx.row,
+            model_input_scales=[ra.input_scale] * len(self.model.onnx.graph.inputs),
+            model_output_scales=[tv.scale for tv in outputs],
+            model_instance_shapes=[list(tv.shape) for tv in outputs],
+            required_lookups=sorted(cfg.tables),
+        )
+
+    def forward(self, input_arrays):
+        """Witness generation: returns (assignment-ready ctx parts + outputs)."""
+        k = self.run_args.logrows
+        cfg, ctx, outputs = self._run_layout(input_arrays, k)
+        return cfg, ctx, outputs
+
+    def gen_witness(self, input_arrays) -> dict:
+        cfg, ctx, outputs = self.forward(input_arrays)
+        out = {
+            "inputs": [[_felt_hex(int(v)) for v in quantized.reshape(-1)]
+                       for quantized in
+                       [np.asarray(a) for a in self._quantized_inputs(input_arrays)]],
+            "outputs": [[_felt_hex(int(v)) for v in tv.ints.reshape(-1)]
+                        for tv in outputs],
+            "pretty_elements": {
+                "rescaled_outputs": [
+                    dequantize(tv.ints, tv.scale).reshape(-1).tolist()
+                    for tv in outputs
+                ],
+            },
+            "max_row": ctx.row,
+        }
+        return out
+
+    def _quantized_inputs(self, input_arrays):
+        from .quantize import quantize
+        return [quantize(a, self.run_args.input_scale) for a in input_arrays]
+
+    # -- proving pipeline ---------------------------------------------------
+
+    def mock_prove(self, input_arrays) -> list:
+        cfg, ctx, _ = self.forward(input_arrays)
+        asg = ctx.finalize()
+        return mock.verify(asg)
+
+    def setup(self, input_arrays, srs: srsmod.SRS):
+        """keygen from a layout pass (fixed cols + copies define the vk)."""
+        cfg, ctx, _ = self.forward(input_arrays)
+        asg = ctx.finalize()
+        pk = keygen.keygen(cfg.cs, self.run_args.logrows, srs, asg)
+        return pk, asg
+
+    def prove(self, input_arrays, srs: srsmod.SRS, pk=None):
+        if pk is None:
+            pk, asg = self.setup(input_arrays, srs)
+        else:
+            cfg, ctx, _ = self.forward(input_arrays)
+            asg = ctx.finalize()
+        return prover.create_proof(pk, srs, asg), pk
+
+    @staticmethod
+    def verify(vk, srs: srsmod.SRS, proof) -> bool:
+        return verifier.verify(vk, srs.g2, srs.s_g2, proof)

@@ -1,0 +1,225 @@
+"""Base gate configuration + span layout engine.
+
+The TPU-native re-design of the reference's `BaseConfig` + `RegionCtx`
+(`/root/reference/src/circuit/ops/chip.rs:264-448`, `ops/region.rs`):
+
+* Same gate algebra as ezkl's base ops (Add/Sub/Mult, Dot/Sum/CumProd with
+  rotation -1 accumulators — `ops/base.rs:28-96`) over THREE advice columns
+  (ezkl's ModelVars also allocates 3 advice blocks, `graph/vars.rs:362+`).
+* Instead of cell-by-cell assignment, tensors live in contiguous SPANS and
+  every write is a vectorized numpy slice; copy constraints are emitted as
+  whole index arrays.
+* Nonlinearities are logup lookups into per-function tables with a
+  selector-gated default row (analog of `table.rs` SelectorConstructor).
+* Row n-1 is reserved by the proof system (blinding-free running args).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import numpy as np
+
+from ..plonk import cs as csmod
+from ..plonk.assign import Assignment
+from ..plonk.cs import ADVICE, FIXED, INSTANCE
+from .quantize import check_range
+
+BASE_GATES = ("add", "sub", "mul", "dot_init", "dot", "sum_init", "sum",
+              "prod_init", "prod")
+
+
+class BaseConfig:
+    """Creates columns + base gates on a fresh ConstraintSystem."""
+
+    def __init__(self):
+        cs = csmod.ConstraintSystem()
+        self.cs = cs
+        self.a0 = cs.advice_column()
+        self.a1 = cs.advice_column()
+        self.a2 = cs.advice_column()
+        self.c_fixed = cs.fixed_column()         # constants / params (fixed vis)
+        self.instance = cs.instance_column()
+        for col in (self.a0, self.a1, self.a2, self.c_fixed, self.instance):
+            cs.enable_equality(col)
+
+        self.sel = {name: cs.fixed_column() for name in BASE_GATES}
+        q = {name: cs.query(self.sel[name]) for name in BASE_GATES}
+        v0, v1, v2 = cs.query(self.a0), cs.query(self.a1), cs.query(self.a2)
+        v2p = cs.query(self.a2, -1)
+        cs.create_gate("add", q["add"] * (v0 + v1 - v2))
+        cs.create_gate("sub", q["sub"] * (v0 - v1 - v2))
+        cs.create_gate("mul", q["mul"] * (v0 * v1 - v2))
+        cs.create_gate("dot_init", q["dot_init"] * (v0 * v1 - v2))
+        cs.create_gate("dot", q["dot"] * (v2p + v0 * v1 - v2))
+        cs.create_gate("sum_init", q["sum_init"] * (v0 - v2))
+        cs.create_gate("sum", q["sum"] * (v2p + v0 - v2))
+        cs.create_gate("prod_init", q["prod_init"] * (v0 - v2))
+        cs.create_gate("prod", q["prod"] * (v2p * v0 - v2))
+
+        self.tables: dict[str, dict] = {}        # name -> table info
+
+    def ensure_table(self, name: str, inputs: np.ndarray, outputs: np.ndarray):
+        """Create (or fetch) a lookup table + its logup argument.
+
+        inputs/outputs: int64 arrays of table rows. The lookup reads
+        (q*a0 + (1-q)*d_in, q*a1 + (1-q)*d_out) from every circuit row.
+        """
+        if name in self.tables:
+            return self.tables[name]
+        cs = self.cs
+        t_in = cs.fixed_column()
+        t_out = cs.fixed_column()
+        q_col = cs.fixed_column()
+        d_in, d_out = int(inputs[0]), int(outputs[0])
+        q = cs.query(q_col)
+        e_in = q * cs.query(self.a0) + (csmod.Constant(1) - q) * csmod.Constant(d_in)
+        e_out = q * cs.query(self.a1) + (csmod.Constant(1) - q) * csmod.Constant(d_out)
+        cs.add_lookup(name, [(e_in, e_out)], (cs.query(t_in), cs.query(t_out)))
+        info = dict(t_in=t_in, t_out=t_out, sel=q_col, inputs=inputs,
+                    outputs=outputs, d_in=d_in, d_out=d_out)
+        self.tables[name] = info
+        return info
+
+
+@dataclasses.dataclass
+class Span:
+    """A tensor's home: a row-index array (row-major element order) in one
+    column. Contiguous for plain tensors; strided for accumulator outputs."""
+
+    col: object
+    rows: np.ndarray
+
+    @classmethod
+    def contiguous(cls, col, row0: int, size: int) -> "Span":
+        return cls(col, np.arange(row0, row0 + size))
+
+    @property
+    def size(self) -> int:
+        return int(self.rows.size)
+
+
+@dataclasses.dataclass
+class TVal:
+    """A graph tensor during layout: quantized ints + scale + location."""
+
+    ints: np.ndarray          # int64, the tensor's shape
+    scale: int
+    span: Span | None         # None until materialized in the circuit
+
+    @property
+    def shape(self):
+        return self.ints.shape
+
+
+class LayoutCtx:
+    """Row-cursor + column-store; produces the final Assignment."""
+
+    def __init__(self, cfg: BaseConfig, k: int):
+        self.cfg = cfg
+        self.k = k
+        self.n = 1 << k
+        self.usable = self.n - 1
+        self.row = 0
+        self._cols: dict[tuple, np.ndarray] = {}
+        self.copies: list = []
+        self.instance_vals: list[int] = []
+
+    # -- storage ------------------------------------------------------------
+
+    def _arr(self, col) -> np.ndarray:
+        key = (col.kind, col.index)
+        if key not in self._cols:
+            self._cols[key] = np.zeros(self.n, np.int64)
+        return self._cols[key]
+
+    def alloc(self, size: int) -> int:
+        r = self.row
+        if r + size > self.usable:
+            raise ValueError(
+                f"circuit overflow: need {r + size} rows, usable {self.usable} "
+                f"(k={self.k}); raise logrows")
+        self.row += size
+        return r
+
+    def write(self, col, row0: int, values: np.ndarray):
+        v = check_range(np.asarray(values, np.int64).reshape(-1))
+        self._arr(col)[row0:row0 + v.size] = v
+
+    def enable(self, gate: str, row0: int, size: int):
+        self._arr(self.cfg.sel[gate])[row0:row0 + size] = 1
+
+    def copy_rows(self, col_a, rows_a, col_b, rows_b):
+        ra = np.asarray(rows_a).reshape(-1)
+        rb = np.asarray(rows_b).reshape(-1)
+        assert ra.size == rb.size
+        for x, y in zip(ra.tolist(), rb.tolist()):
+            self.copies.append(((col_a, int(x)), (col_b, int(y))))
+
+    # -- tensor materialization ----------------------------------------------
+
+    def materialize(self, tv: TVal, col=None) -> Span:
+        """Give a spanless tensor a home (constants -> c_fixed)."""
+        if tv.span is not None:
+            return tv.span
+        col = col or self.cfg.c_fixed
+        size = int(tv.ints.size)
+        r = self.alloc(size)
+        self.write(col, r, tv.ints)
+        tv.span = Span.contiguous(col, r, size)
+        return tv.span
+
+    def stage_operand(self, tv: TVal, col, row0: int, flat_idx: np.ndarray):
+        """Write tv's elements (selected by flat_idx into tv.ints.reshape(-1))
+        into `col` rows [row0, ...) and constrain equality to tv's home."""
+        src = self.materialize(tv)
+        vals = tv.ints.reshape(-1)[flat_idx]
+        self.write(col, row0, vals)
+        self.copy_rows(col, row0 + np.arange(flat_idx.size),
+                       src.col, src.rows[flat_idx])
+        return vals
+
+    # -- lookup -------------------------------------------------------------
+
+    def apply_lookup(self, name: str, table_in: np.ndarray, table_out: np.ndarray,
+                     tv: TVal, out_scale: int) -> TVal:
+        """Map tv through the named table: rows with (a0=in, a1=out)."""
+        info = self.cfg.ensure_table(name, table_in, table_out)
+        x = tv.ints.reshape(-1)
+        lo, hi = int(info["inputs"][0]), int(info["inputs"][-1])
+        if x.size and (x.min() < lo or x.max() > hi):
+            raise ValueError(
+                f"lookup '{name}': input range [{x.min()}, {x.max()}] outside "
+                f"table [{lo}, {hi}]; raise lookup_range or lower scales")
+        # table outputs indexed by (x - lo) assuming contiguous table inputs
+        out = info["outputs"][x - lo]
+        r = self.alloc(x.size)
+        self.stage_operand(tv, self.cfg.a0, r, np.arange(x.size))
+        self.write(self.cfg.a1, r, out)
+        self._arr(info["sel"])[r:r + x.size] = 1
+        res = TVal(out.reshape(tv.shape), out_scale,
+                   Span.contiguous(self.cfg.a1, r, int(x.size)))
+        return res
+
+    # -- finalize -----------------------------------------------------------
+
+    def finalize(self) -> Assignment:
+        cs = self.cfg.cs
+        asg = Assignment.empty(cs, self.k)
+        # fill table columns (pad with default row through the last row)
+        for name, info in self.cfg.tables.items():
+            t_in = np.full(self.n, info["d_in"], np.int64)
+            t_out = np.full(self.n, info["d_out"], np.int64)
+            L = info["inputs"].size
+            assert L <= self.n, f"table '{name}' larger than domain"
+            t_in[:L] = info["inputs"]
+            t_out[:L] = info["outputs"]
+            self._arr(info["t_in"])[:] = t_in
+            self._arr(info["t_out"])[:] = t_out
+        for (kind, idx), arr in self._cols.items():
+            col = csmod.Column(kind, idx)
+            asg.set_i64(col, 0, arr)
+        asg.set_instance(self.cfg.instance, self.instance_vals)
+        asg.copies = self.copies
+        return asg

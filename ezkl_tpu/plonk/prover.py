@@ -38,6 +38,17 @@ from .transcript import Transcript, decode_point_host, decode_scalar_host
 
 FR = bn254_fr()
 
+import os as _os
+import time as _time
+
+_TRACE = _os.environ.get("EZKL_TPU_TRACE", "")
+_t0 = _time.time()
+
+
+def _span(msg: str):
+    if _TRACE:
+        print(f"[prover +{_time.time() - _t0:7.1f}s] {msg}", flush=True)
+
 
 @dataclasses.dataclass
 class Proof:
@@ -138,12 +149,14 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     k, n, p = pk.vk.k, dom.n, FR.modulus
     tr = transcript or Transcript()
 
+    _span("phase1: bind vk+instances")
     # ---- 1. bind vk + instances
     tr.common_bytes(pk.vk.transcript_repr())
     for col in asg.instance:
         for v in col:
             tr.common_scalar(v)
 
+    _span("phase2: advice commitments")
     # ---- 2. advice commitments (single phase for now)
     advice_l = asg.device_columns(ADVICE)            # (na, 16, n) mont
     advice_comms = []
@@ -159,6 +172,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     ch_dev = {i: limbs.const(FR, v) for i, v in challenges.items()}
     ctx_l = EvalCtx(columns=cols_l, rot_step=1, challenges=ch_dev)
 
+    _span("phase3: lookups m")
     # ---- 3. theta: lookup compression + multiplicities
     theta = tr.challenge()
     theta_dev = limbs.const(FR, theta)
@@ -205,6 +219,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         m_comms.append(cpt)
         tr.common_point(cpt)
 
+    _span("phase4: perm z + phi")
     # ---- 4. beta, gamma: permutation Z + lookup phi
     beta = tr.challenge()
     gamma = tr.challenge()
@@ -268,6 +283,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         phi_comms.append(cpt)
         tr.common_point(cpt)
 
+    _span("phase5: quotient")
     # ---- 5. y: quotient
     y = tr.challenge()
 
@@ -389,6 +405,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         total = acc(total, limbs.mont_mul(FR, l0_ext, phi_e))
         total = acc(total, limbs.mont_mul(FR, llast_ext, phi_e))
 
+    _span("phase5b: divide+split h")
     # divide by Z_H and split
     h_ext = limbs.mont_mul(FR, total, dom.vanishing_inv_on_extended())
     h_coeff = dom.extended_to_coeff(h_ext)                       # (16, n_ext)
@@ -400,6 +417,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         h_comms.append(cpt)
         tr.common_point(cpt)
 
+    _span("phase6: evaluations")
     # ---- 6. x: evaluations
     x = tr.challenge()
     evals: dict[str, int] = {}
@@ -447,6 +465,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     for label in sorted(evals):
         tr.common_scalar(evals[label])
 
+    _span("phase7: multiopen")
     # ---- 7. GWC multiopen
     v_ch = tr.challenge()
 
@@ -494,6 +513,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         opening_comms.append(cpt)
         tr.common_point(cpt)
 
+    _span("done")
     return Proof(
         advice_commitments=advice_comms,
         lookup_m_commitments=m_comms,
