@@ -142,7 +142,126 @@ class Model:
                 else:
                     out = TVal(arr.astype(np.int64), 0, None)
             elif op == "Softmax":
-                out = _softmax(ctx, ins[0], ra)
+                axis = node.attrs.get("axis", -1)
+                out = _softmax(ctx, ins[0], ra, axis)
+            elif op == "Conv":
+                out = self._conv(ctx, node, ins, rebase)
+            elif op in ("MaxPool", "AveragePool", "GlobalAveragePool"):
+                out = self._pool(ctx, node, ins, rebase)
+            elif op == "Concat":
+                axis = node.attrs.get("axis", 0)
+                scales = {t.scale for t in ins}
+                if len(scales) > 1:
+                    tgt = max(scales)
+                    ins = [t if t.scale == tgt else
+                           ops.const_mul(ctx, t, 1 << (tgt - t.scale), tgt - t.scale)
+                           for t in ins]
+                out = ops.concat(ctx, ins, axis)
+            elif op == "Transpose":
+                perm = node.attrs.get("perm") or list(range(ins[0].ints.ndim))[::-1]
+                out = ops.transpose(ctx, ins[0], perm)
+            elif op in ("Unsqueeze", "Squeeze"):
+                axes = node.attrs.get("axes")
+                if axes is None and len(node.inputs) > 1:
+                    axes = values[node.inputs[1]].ints.reshape(-1).tolist()
+                src = ins[0]
+                shape = list(src.shape)
+                if op == "Unsqueeze":
+                    for ax in sorted(axes):
+                        shape.insert(ax if ax >= 0 else len(shape) + ax + 1, 1)
+                else:
+                    if axes:
+                        for ax in sorted(axes, reverse=True):
+                            assert shape[ax] == 1
+                            shape.pop(ax)
+                    else:
+                        shape = [s for s in shape if s != 1]
+                out = TVal(src.ints.reshape(shape), src.scale, src.span)
+            elif op == "Slice":
+                out = self._slice(ctx, node, ins, values)
+            elif op == "Pad":
+                out = self._pad(ctx, node, ins, values)
+            elif op == "Neg":
+                neg1 = TVal(np.full(1, -1, np.int64), 0, None)
+                out = ops.pairwise(ctx, "mul", ins[0], neg1)
+            elif op == "LeakyRelu":
+                alpha = node.attrs.get("alpha", 0.01)
+                out = ops.lookup_fn(
+                    ctx, f"leaky{alpha}", ins[0],
+                    lambda x: np.where(x > 0, x, alpha * x),
+                    ins[0].scale, ins[0].scale, ra.lookup_range)
+            elif op in ("Sqrt", "Erf", "Ln", "Log", "Cos", "Sin", "Rsqrt",
+                        "Reciprocal", "HardSwish"):
+                fn = {
+                    "Sqrt": lambda x: np.sqrt(np.maximum(x, 0)),
+                    "Rsqrt": lambda x: np.where(x > 0, 1.0 / np.sqrt(np.abs(x) + 1e-12), 0.0),
+                    "Erf": lambda x: _erf(x),
+                    "Ln": np.log, "Log": np.log,
+                    "Cos": np.cos, "Sin": np.sin,
+                    "Reciprocal": lambda x: np.where(x == 0, 0.0, 1.0 / x),
+                    "HardSwish": lambda x: x * np.clip(x / 6 + 0.5, 0, 1),
+                }[op]
+                out = ops.lookup_fn(ctx, op.lower(), ins[0], fn,
+                                    ins[0].scale, ra.input_scale, ra.lookup_range)
+            elif op == "Pow":
+                expo = ins[1].ints.reshape(-1)
+                e = float(expo[0]) / (1 << ins[1].scale) if ins[1].scale else float(expo[0])
+                if e == int(e) and e >= 1:
+                    out = rebase(ops.pow_int(ctx, ins[0], int(e)))
+                else:
+                    out = ops.lookup_fn(ctx, f"pow{e}", ins[0],
+                                        lambda x: np.sign(x) * np.abs(x) ** e,
+                                        ins[0].scale, ra.input_scale, ra.lookup_range)
+            elif op == "Div":
+                out = self._div(ctx, node, ins, rebase)
+            elif op in ("ReduceSum", "ReduceMean"):
+                out = self._reduce(ctx, node, ins, values, mean=(op == "ReduceMean"))
+            elif op == "Einsum":
+                eq = node.attrs.get("equation")
+                eq = eq.decode() if isinstance(eq, bytes) else eq
+                out = rebase(ops.einsum(ctx, eq, *ins[:2]))
+            elif op in ("Greater", "Less", "Equal"):
+                a, b = align(ins[0], ins[1])
+                fn = {"Greater": ops.greater, "Less": ops.less,
+                      "Equal": ops.equals}[op]
+                out = fn(ctx, a, b, ra.lookup_range)
+            elif op == "Where":
+                a, b = align(ins[1], ins[2])
+                out = ops.iff(ctx, ins[0], a, b)
+            elif op in ("And", "Or", "Xor", "Not"):
+                out = ops.logical(ctx, op.lower(), ins[0],
+                                  ins[1] if len(ins) > 1 else None)
+            elif op == "BatchNormalization":
+                out = rebase(self._batchnorm(ctx, node, ins, align))
+            elif op == "Gather":
+                data, indices = ins[0], ins[1]
+                if indices.span is not None:
+                    raise NotImplementedError("dynamic Gather (data-dependent"
+                                              " indices) not yet supported")
+                axis = node.attrs.get("axis", 0)
+                idx_grid = np.take(
+                    np.arange(data.ints.size).reshape(data.shape),
+                    indices.ints.astype(np.int64), axis=axis)
+                out = ops.reindex(data, idx_grid.reshape(-1), idx_grid.shape)
+            elif op in ("Expand", "Tile"):
+                src = ins[0]
+                if op == "Expand":
+                    tgt = tuple(int(v) for v in ins[1].ints.reshape(-1))
+                    tgt = np.broadcast_shapes(src.shape, tgt)
+                    idx = ops._broadcast_indices(src.shape, tgt)
+                    out = ops.reindex(src, idx, tgt)
+                else:
+                    reps = tuple(int(v) for v in ins[1].ints.reshape(-1))
+                    idx = np.tile(np.arange(src.ints.size).reshape(src.shape), reps)
+                    out = ops.reindex(src, idx.reshape(-1), idx.shape)
+            elif op == "ReduceMax":
+                out = self._reduce_max(ctx, node, ins, values)
+            elif op == "Clip":
+                lo = float(ins[1].ints.reshape(-1)[0]) / (1 << ins[1].scale) if len(ins) > 1 else node.attrs.get("min", -np.inf)
+                hi = float(ins[2].ints.reshape(-1)[0]) / (1 << ins[2].scale) if len(ins) > 2 else node.attrs.get("max", np.inf)
+                out = ops.lookup_fn(ctx, f"clip{lo}_{hi}", ins[0],
+                                    lambda x: np.clip(x, lo, hi),
+                                    ins[0].scale, ins[0].scale, ra.lookup_range)
             else:
                 raise NotImplementedError(f"op {op} not yet supported")
             values[node.outputs[0]] = out
@@ -152,6 +271,170 @@ class Model:
         for tv in outputs:
             ctx.materialize(tv)
         return outputs
+
+    # -- op helpers ---------------------------------------------------------
+
+    def _conv(self, ctx, node, ins, rebase):
+        ra = self.run_args
+        x, w = ins[0], ins[1]
+        bias = ins[2] if len(ins) > 2 else None
+        if node.attrs.get("group", 1) != 1:
+            raise NotImplementedError("grouped conv not yet supported")
+        if any(d != 1 for d in node.attrs.get("dilations", [1, 1])):
+            raise NotImplementedError("dilated conv not yet supported")
+        strides = tuple(node.attrs.get("strides", [1, 1]))
+        pads = node.attrs.get("pads", [0, 0, 0, 0])
+        padding = (pads[0], pads[1], pads[2], pads[3])
+        if bias is not None and bias.span is None:
+            orig = bias.ints.astype(np.float64) / (1 << bias.scale)
+            bias = TVal(quantize(orig, x.scale + w.scale), x.scale + w.scale, None)
+        out = ops.conv2d(ctx, x, w, bias, strides, padding, ra.lookup_range)
+        return rebase(out)
+
+    def _pool(self, ctx, node, ins, rebase):
+        ra = self.run_args
+        x = ins[0]
+        if node.op_type == "GlobalAveragePool":
+            kernel = (x.shape[2], x.shape[3])
+            strides = (1, 1)
+            pads = (0, 0, 0, 0)
+        else:
+            kernel = tuple(node.attrs.get("kernel_shape"))
+            strides = tuple(node.attrs.get("strides", [1, 1]))
+            p = node.attrs.get("pads", [0, 0, 0, 0])
+            pads = (p[0], p[1], p[2], p[3])
+        if node.op_type == "MaxPool":
+            return ops.maxpool2d(ctx, x, kernel, strides, pads, ra.lookup_range)
+        s = ops.sumpool2d(ctx, x, kernel, strides, pads)
+        area = kernel[0] * kernel[1]
+        return ops.div_known(ctx, s, area, s.scale)
+
+    def _slice(self, ctx, node, ins, values):
+        src = ins[0]
+        if len(node.inputs) > 1:
+            starts = values[node.inputs[1]].ints.reshape(-1).tolist()
+            ends = values[node.inputs[2]].ints.reshape(-1).tolist()
+            axes = (values[node.inputs[3]].ints.reshape(-1).tolist()
+                    if len(node.inputs) > 3 else list(range(len(starts))))
+            steps = (values[node.inputs[4]].ints.reshape(-1).tolist()
+                     if len(node.inputs) > 4 else [1] * len(starts))
+        else:
+            starts = node.attrs.get("starts")
+            ends = node.attrs.get("ends")
+            axes = node.attrs.get("axes", list(range(len(starts))))
+            steps = [1] * len(starts)
+        slicer = [slice(None)] * src.ints.ndim
+        for st, en, ax, sp in zip(starts, ends, axes, steps):
+            slicer[ax] = slice(st, None if en >= 2**31 else en, sp)
+        idx = np.arange(src.ints.size).reshape(src.shape)[tuple(slicer)]
+        return ops.reindex(src, idx.reshape(-1), idx.shape)
+
+    def _pad(self, ctx, node, ins, values):
+        src = ins[0]
+        if len(node.inputs) > 1:
+            p = values[node.inputs[1]].ints.reshape(-1).tolist()
+        else:
+            p = node.attrs.get("pads")
+        nd = src.ints.ndim
+        pads = tuple((p[i], p[i + nd]) for i in range(nd))
+        return ops.pad(ctx, src, pads)
+
+    def _div(self, ctx, node, ins, rebase):
+        ra = self.run_args
+        a, b = ins[0], ins[1]
+        if b.span is None and b.ints.size == 1:
+            # constant divisor d: x/d = x * round(2^s/d) / 2^s — one const
+            # mul then a claimed-quotient rebase (no table-range limits)
+            d = float(b.ints.reshape(-1)[0]) / (1 << b.scale)
+            s = ra.param_scale
+            mul_c = TVal(np.asarray([round((1 << s) / d)], np.int64), s, None)
+            prod = ops.pairwise(ctx, "mul", a, mul_c)
+            return ops.div_rebase(ctx, prod, prod.scale - a.scale)
+        inv = ops.lookup_fn(ctx, "recip", b,
+                            lambda x: np.where(x == 0, 0.0, 1.0 / x),
+                            b.scale, 2 * ra.input_scale, ra.lookup_range)
+        return rebase(ops.pairwise(ctx, "mul", a, inv))
+
+    def _reduce(self, ctx, node, ins, values, mean: bool):
+        ra = self.run_args
+        src = ins[0]
+        axes = node.attrs.get("axes")
+        if axes is None and len(node.inputs) > 1:
+            axes = values[node.inputs[1]].ints.reshape(-1).tolist()
+        if axes is None:
+            axes = list(range(src.ints.ndim))
+        axes = [a % src.ints.ndim for a in axes]
+        keep = [i for i in range(src.ints.ndim) if i not in axes]
+        perm = keep + axes
+        moved = ops.transpose(ctx, src, perm)
+        out_shape = tuple(src.shape[i] for i in keep)
+        runs = int(np.prod(out_shape, dtype=np.int64)) or 1
+        rl = int(moved.ints.size // runs)
+        flat = TVal(moved.ints.reshape(runs, rl), moved.scale, moved.span)
+        out = ops.einsum(ctx, "rk->r", flat)
+        out = TVal(out.ints.reshape(out_shape), out.scale,
+                   out.span)
+        if mean:
+            out = ops.div_known(ctx, out, rl, out.scale)
+        keepdims = node.attrs.get("keepdims", 1)
+        if keepdims:
+            shp = list(src.shape)
+            for a in axes:
+                shp[a] = 1
+            out = TVal(out.ints.reshape(shp), out.scale, out.span)
+        return out
+
+    def _reduce_max(self, ctx, node, ins, values):
+        """ReduceMax via iterated pairwise max along the reduced axes."""
+        ra = self.run_args
+        src = ins[0]
+        axes = node.attrs.get("axes")
+        if axes is None and len(node.inputs) > 1:
+            axes = values[node.inputs[1]].ints.reshape(-1).tolist()
+        if axes is None:
+            axes = list(range(src.ints.ndim))
+        axes = [a % src.ints.ndim for a in axes]
+        keep = [i for i in range(src.ints.ndim) if i not in axes]
+        perm = keep + axes
+        moved = ops.transpose(ctx, src, perm)
+        out_shape = tuple(src.shape[i] for i in keep)
+        runs = int(np.prod(out_shape, dtype=np.int64)) or 1
+        rl = int(moved.ints.size // runs)
+        flat = TVal(moved.ints.reshape(runs, rl), moved.scale, moved.span)
+        acc = ops.reindex(flat, np.arange(runs) * rl, (runs,))
+        for j in range(1, rl):
+            elem = ops.reindex(flat, np.arange(runs) * rl + j, (runs,))
+            acc = ops.pairwise_max(ctx, acc, elem, ra.lookup_range)
+        out = TVal(acc.ints.reshape(out_shape), acc.scale, acc.span)
+        if node.attrs.get("keepdims", 1):
+            shp = list(src.shape)
+            for a in axes:
+                shp[a] = 1
+            out = TVal(out.ints.reshape(shp), out.scale, out.span)
+        return out
+
+    def _batchnorm(self, ctx, node, ins, align):
+        """Fold BN into a constant affine: y = x*gn + bn (host-folded)."""
+        ra = self.run_args
+        x, gamma, beta, mean, var = ins
+        eps = node.attrs.get("epsilon", 1e-5)
+        def fl(tv):
+            return tv.ints.astype(np.float64) / (1 << tv.scale)
+        g, b, m, v = fl(gamma), fl(beta), fl(mean), fl(var)
+        scale_f = g / np.sqrt(v + eps)
+        shift_f = b - m * scale_f
+        shp = (1, -1) + (1,) * (x.ints.ndim - 2)
+        sc = TVal(quantize(scale_f.reshape(shp), ra.param_scale), ra.param_scale, None)
+        sh = TVal(quantize(shift_f.reshape(shp), x.scale + ra.param_scale),
+                  x.scale + ra.param_scale, None)
+        prod = ops.pairwise(ctx, "mul", x, sc)
+        a2, b2 = align(prod, sh)
+        return ops.pairwise(ctx, "add", a2, b2)
+
+
+def _erf(x):
+    import math
+    return np.vectorize(math.erf)(np.asarray(x, np.float64))
 
 
 def forward_float(model: "Model", input_arrays: list[np.ndarray]) -> list[np.ndarray]:
@@ -222,14 +505,26 @@ def _resolve_reshape(cur_shape, shape_t) -> tuple:
     return tuple(tgt)
 
 
-def _softmax(ctx, a: TVal, ra: RunArgs) -> TVal:
-    """softmax = exp lookup -> sum -> recip lookup -> mul (reference
-    `layouts.rs:6687`). Percent-style normalization at input_scale."""
-    ex = ops.exp_op(ctx, a, ra.input_scale, ra.lookup_range)
-    denom = ops.sum_reduce(ctx, ex)
-    # recip at doubled scale to keep precision, then multiply and rebase
+def _softmax(ctx, a: TVal, ra: RunArgs, axis: int = -1) -> TVal:
+    """softmax = exp lookup -> per-slice sum -> recip lookup -> mul
+    (reference `layouts.rs:6687`)."""
+    nd = a.ints.ndim
+    axis = axis % nd
+    perm = [i for i in range(nd) if i != axis] + [axis]
+    moved = ops.transpose(ctx, a, perm)
+    rl = a.shape[axis]
+    runs = int(a.ints.size // rl)
+    flat = TVal(moved.ints.reshape(runs, rl), moved.scale, moved.span)
+    ex = ops.exp_op(ctx, flat, ra.input_scale, ra.lookup_range)
+    denom = ops.einsum(ctx, "rk->r", ex)
     inv = ops.lookup_fn(
         ctx, "recip", denom, lambda x: np.where(x == 0, 0.0, 1.0 / x),
         denom.scale, 2 * ra.input_scale, ra.lookup_range)
-    prod = ops.pairwise(ctx, "mul", ex, inv)
-    return ops.div_rebase(ctx, prod, prod.scale - ra.input_scale, ra.lookup_range)
+    inv2 = TVal(inv.ints.reshape(runs, 1), inv.scale, inv.span)
+    prod = ops.pairwise(ctx, "mul", ex, inv2)
+    out = ops.div_rebase(ctx, prod, prod.scale - ra.input_scale, ra.lookup_range)
+    # undo the transpose
+    inv_perm = np.argsort(perm)
+    shaped = TVal(out.ints.reshape(tuple(a.shape[p] for p in perm)),
+                  out.scale, out.span)
+    return ops.transpose(ctx, shaped, inv_perm.tolist())

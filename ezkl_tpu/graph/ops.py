@@ -177,10 +177,297 @@ def tanh_op(ctx, a: TVal, out_scale: int, lookup_range) -> TVal:
     return lookup_fn(ctx, "tanh", a, np.tanh, a.scale, out_scale, lookup_range)
 
 
-def div_rebase(ctx, a: TVal, shift: int, lookup_range) -> TVal:
-    """Divide by 2^shift with round-half-even (the RebaseScale divisor,
-    reference `node.rs:142-290`), via lookup."""
-    out = lookup_fn(ctx, f"div2p{shift}", a,
-                    lambda x: x,  # identity in float domain...
-                    a.scale, a.scale - shift, lookup_range)
+def div_known(ctx: LayoutCtx, a: TVal, d: int, out_scale: int) -> TVal:
+    """Rounded division by a known positive integer d via the claimed-
+    quotient construction (reference `layouts.rs` div: witness the quotient,
+    constrain x = q*d + r with |r| <= d/2 by a range lookup). No bound on
+    the input magnitude — unlike a table-based division."""
+    cfg = ctx.cfg
+    assert d >= 1
+    if d == 1:
+        return TVal(a.ints, out_scale, a.span)
+    x = a.ints.reshape(-1)
+    q = np.rint(x / d).astype(np.int64)
+    r = x - q * d
+    h = d // 2
+    # q*d (mul gate with the constant d)
+    dconst = TVal(np.full(1, d, np.int64), 0, None)
+    qv = TVal(q, 0, None)
+    prod = pairwise(ctx, "mul", qv, dconst)
+    # recover q's span: it was staged as operand a0 of the mul
+    q_span = Span.contiguous(cfg.a0, int(prod.span.rows[0]), q.size)
+    # r = x - q*d (sub gate): a0 = x, a1 = prod, a2 = r
+    L = q.size
+    rr = ctx.alloc(L)
+    ctx.stage_operand(a, cfg.a0, rr, np.arange(L))
+    ctx.stage_operand(prod, cfg.a1, rr, np.arange(L))
+    ctx.write(cfg.a2, rr, r)
+    ctx.enable("sub", rr, L)
+    rtv = TVal(r, 0, Span.contiguous(cfg.a2, rr, L))
+    # range-check r in [-h, h] via an identity-pair lookup table
+    tbl = np.arange(-h, h + 1, dtype=np.int64)
+    ctx.apply_lookup(f"range_pm{h}", tbl, tbl, rtv, 0)
+    return TVal(q.reshape(a.shape), out_scale, q_span)
+
+
+def div_rebase(ctx, a: TVal, shift: int, lookup_range=None) -> TVal:
+    """Divide by 2^shift with rounding (the RebaseScale divisor,
+    reference `node.rs:142-290`)."""
+    return div_known(ctx, a, 1 << shift, a.scale - shift)
+
+
+# ---------------------------------------------------------------------------
+# index ops — free (span row permutations), with a column-merge fallback
+# ---------------------------------------------------------------------------
+
+def identity_move(ctx: LayoutCtx, a: TVal) -> TVal:
+    """Copy a tensor into a fresh contiguous a2 span via the sum_init gate
+    (a2 = a0). Used to merge tensors from different columns."""
+    cfg = ctx.cfg
+    L = int(a.ints.size)
+    r = ctx.alloc(L)
+    ctx.stage_operand(a, cfg.a0, r, np.arange(L))
+    ctx.write(cfg.a2, r, a.ints)
+    ctx.enable("sum_init", r, L)
+    return TVal(a.ints.copy(), a.scale, Span.contiguous(cfg.a2, r, L))
+
+
+def reindex(tv: TVal, flat_idx: np.ndarray, new_shape) -> TVal:
+    """Pure element re-ordering/selection (gather with static indices):
+    transpose, slice, flip, repeat... — zero constraints."""
+    return TVal(tv.ints.reshape(-1)[flat_idx].reshape(new_shape), tv.scale,
+                Span(tv.span.col, tv.span.rows[flat_idx]) if tv.span else None)
+
+
+def transpose(ctx, a: TVal, perm) -> TVal:
+    idx = np.arange(a.ints.size).reshape(a.shape).transpose(perm).reshape(-1)
+    return reindex(a, idx, tuple(a.shape[p] for p in perm))
+
+
+def concat(ctx: LayoutCtx, tvs: list[TVal], axis: int) -> TVal:
+    tvs = [tv if tv.span is not None else _mat(ctx, tv) for tv in tvs]
+    cols = {id(tv.span.col) for tv in tvs}
+    if len(cols) > 1:
+        tvs = [identity_move(ctx, tv) for tv in tvs]
+    col = tvs[0].span.col
+    out_ints = np.concatenate([tv.ints for tv in tvs], axis=axis)
+    # rows follow the same concatenation order
+    idx_parts = []
+    offset = 0
+    sizes = [tv.ints.size for tv in tvs]
+    # build row array by concatenating index grids along axis
+    row_grids = [tv.span.rows.reshape(tv.shape) for tv in tvs]
+    rows = np.concatenate(row_grids, axis=axis).reshape(-1)
+    return TVal(out_ints, tvs[0].scale, Span(col, rows))
+
+
+def _mat(ctx, tv):
+    ctx.materialize(tv)
+    return tv
+
+
+def pad(ctx: LayoutCtx, a: TVal, pads, value: int = 0) -> TVal:
+    """Zero-pad: pad cells point at a shared zero cell in c_fixed."""
+    zero = TVal(np.full(1, value, np.int64), a.scale, None)
+    zspan = ctx.materialize(zero)
+    a = _mat(ctx, a)
+    if id(a.span.col) != id(zspan.col):
+        # keep zero in the same column as `a` by moving a if needed; cheaper:
+        # move the single zero cell via identity into a's column? identity
+        # lands in a2 — so move BOTH into a2 when columns differ.
+        if id(a.span.col) != id(ctx.cfg.a2):
+            a = identity_move(ctx, a)
+        z2 = identity_move(ctx, TVal(zero.ints, a.scale, zspan))
+        zspan = z2.span
+    rows_grid = a.span.rows.reshape(a.shape)
+    padded_rows = np.pad(rows_grid, pads, constant_values=zspan.rows[0])
+    padded_ints = np.pad(a.ints, pads, constant_values=value)
+    return TVal(padded_ints, a.scale, Span(a.span.col, padded_rows.reshape(-1)))
+
+
+# ---------------------------------------------------------------------------
+# general einsum (base-op dot accumulation; reference `layouts.rs:887`)
+# ---------------------------------------------------------------------------
+
+def einsum(ctx: LayoutCtx, equation: str, a: TVal, b: TVal | None = None) -> TVal:
+    """Two-operand (or one-operand) einsum via dot/sum accumulation runs."""
+    eq = equation.replace(" ", "")
+    lhs, rhs = eq.split("->")
+    terms = lhs.split(",")
+    dims: dict[str, int] = {}
+    shapes = [a.shape] + ([b.shape] if b is not None else [])
+    for term, shape in zip(terms, shapes):
+        assert len(term) == len(shape), f"einsum {eq} vs {shape}"
+        for ch, s in zip(term, shape):
+            dims.setdefault(ch, s)
+            assert dims[ch] == s, f"einsum dim mismatch {ch}"
+    out_chars = list(rhs)
+    red_chars = [c for c in dims if c not in out_chars]
+    out_shape = tuple(dims[c] for c in out_chars)
+    red_shape = tuple(dims[c] for c in red_chars)
+    runs = int(np.prod(out_shape, dtype=np.int64)) or 1
+    run_len = int(np.prod(red_shape, dtype=np.int64)) or 1
+
+    grids = np.meshgrid(*[np.arange(dims[c]) for c in out_chars + red_chars],
+                        indexing="ij") if (out_chars + red_chars) else []
+    coord = {c: g for c, g in zip(out_chars + red_chars, grids)}
+
+    def flat_index(term, shape):
+        idx = np.zeros(tuple(dims[c] for c in out_chars + red_chars), np.int64)
+        stride = 1
+        for ch, s in zip(reversed(term), reversed(shape)):
+            idx = idx + coord[ch] * stride
+            stride *= s
+        return idx.reshape(-1)
+
+    idx_a = flat_index(terms[0], a.shape)
+    if b is not None:
+        idx_b = flat_index(terms[1], b.shape)
+        out_vals, out_rows = _accumulate(ctx, "dot", idx_a, idx_b, a, b,
+                                         runs, run_len)
+        scale = a.scale + b.scale
+    else:
+        out_vals, out_rows = _accumulate(ctx, "sum", idx_a, None, a, None,
+                                         runs, run_len)
+        scale = a.scale
+    return TVal(out_vals.reshape(out_shape), scale, Span(ctx.cfg.a2, out_rows))
+
+
+# ---------------------------------------------------------------------------
+# convolution / pooling (reference `layouts.rs:4499,3907,4008`)
+# ---------------------------------------------------------------------------
+
+def conv2d(ctx: LayoutCtx, x: TVal, w: TVal, bias: TVal | None,
+           strides=(1, 1), padding=(0, 0, 0, 0), lookup_range=None) -> TVal:
+    """NCHW conv via padding + im2col reindex + einsum dot runs."""
+    N, C, H, W_ = x.shape
+    O, Ci, KH, KW = w.shape
+    assert Ci == C, f"conv channels {Ci} != {C}"
+    pt, pl, pb, pr = padding
+    if any(padding):
+        x = pad(ctx, x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    _, _, Hp, Wp = x.shape
+    sh, sw = strides
+    OH = (Hp - KH) // sh + 1
+    OW = (Wp - KW) // sw + 1
+    # im2col as a pure reindex: patches (N, OH, OW, C, KH, KW)
+    n_i, oh, ow, c_i, kh, kw = np.meshgrid(
+        np.arange(N), np.arange(OH), np.arange(OW), np.arange(C),
+        np.arange(KH), np.arange(KW), indexing="ij")
+    src = ((n_i * C + c_i) * Hp + (oh * sh + kh)) * Wp + (ow * sw + kw)
+    patches = reindex(x, src.reshape(-1), (N, OH, OW, C * KH * KW))
+    wmat = TVal(w.ints.reshape(O, C * KH * KW), w.scale, w.span)
+    out = einsum(ctx, "nhwk,ok->nohw", patches, wmat)
+    if bias is not None:
+        bb = TVal(bias.ints.reshape(1, O, 1, 1), bias.scale, bias.span)
+        out = pairwise(ctx, "add", out, bb)
     return out
+
+
+def sumpool2d(ctx, x: TVal, kernel, strides, padding=(0, 0, 0, 0)) -> TVal:
+    N, C, H, W_ = x.shape
+    KH, KW = kernel
+    pt, pl, pb, pr = padding
+    if any(padding):
+        x = pad(ctx, x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    _, _, Hp, Wp = x.shape
+    sh, sw = strides
+    OH = (Hp - KH) // sh + 1
+    OW = (Wp - KW) // sw + 1
+    n_i, c_i, oh, ow, kh, kw = np.meshgrid(
+        np.arange(N), np.arange(C), np.arange(OH), np.arange(OW),
+        np.arange(KH), np.arange(KW), indexing="ij")
+    src = ((n_i * C + c_i) * Hp + (oh * sh + kh)) * Wp + (ow * sw + kw)
+    patches = reindex(x, src.reshape(-1), (N, C, OH, OW, KH * KW))
+    return einsum(ctx, "nchwk->nchw", patches)
+
+
+def maxpool2d(ctx, x: TVal, kernel, strides, padding, lookup_range) -> TVal:
+    """max over window via iterated pairwise max: max(a,b) = a + relu(b-a)
+    (reference builds max from comparisons too, `layouts.rs:4008`)."""
+    N, C, H, W_ = x.shape
+    KH, KW = kernel
+    pt, pl, pb, pr = padding
+    if any(padding):
+        x = pad(ctx, x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
+    _, _, Hp, Wp = x.shape
+    sh, sw = strides
+    OH = (Hp - KH) // sh + 1
+    OW = (Wp - KW) // sw + 1
+    n_i, c_i, oh, ow = np.meshgrid(np.arange(N), np.arange(C),
+                                   np.arange(OH), np.arange(OW), indexing="ij")
+    acc = None
+    for kh in range(KH):
+        for kw in range(KW):
+            src = ((n_i * C + c_i) * Hp + (oh * sh + kh)) * Wp + (ow * sw + kw)
+            elem = reindex(x, src.reshape(-1), (N, C, OH, OW))
+            acc = elem if acc is None else pairwise_max(ctx, acc, elem, lookup_range)
+    return acc
+
+
+def pairwise_max(ctx, a: TVal, b: TVal, lookup_range) -> TVal:
+    diff = pairwise(ctx, "sub", b, a)
+    r = relu(ctx, diff, lookup_range)
+    return pairwise(ctx, "add", a, r)
+
+
+# ---------------------------------------------------------------------------
+# comparisons / logic (reference `layouts.rs:3112-3544`)
+# ---------------------------------------------------------------------------
+
+def greater(ctx, a: TVal, b: TVal, lookup_range) -> TVal:
+    diff = pairwise(ctx, "sub", a, b)
+    out = lookup_fn(ctx, "step_pos", diff, lambda x: (x > 0).astype(np.float64),
+                    diff.scale, 0, lookup_range)
+    return out
+
+
+def less(ctx, a, b, lookup_range):
+    return greater(ctx, b, a, lookup_range)
+
+
+def equals(ctx, a: TVal, b: TVal, lookup_range) -> TVal:
+    diff = pairwise(ctx, "sub", a, b)
+    return lookup_fn(ctx, "is_zero", diff,
+                     lambda x: (x == 0).astype(np.float64),
+                     diff.scale, 0, lookup_range)
+
+
+def iff(ctx, cond: TVal, a: TVal, b: TVal) -> TVal:
+    """cond in {0,1}: cond*a + (1-cond)*b  (reference PolyOp::Iff)."""
+    assert cond.scale == 0
+    one = TVal(np.ones(1, np.int64), 0, None)
+    notc = pairwise(ctx, "sub", one, cond)
+    return pairwise(ctx, "add", pairwise(ctx, "mul", cond, a),
+                    pairwise(ctx, "mul", notc, b))
+
+
+def logical(ctx, kind: str, a: TVal, b: TVal | None = None) -> TVal:
+    one = TVal(np.ones(1, np.int64), 0, None)
+    if kind == "not":
+        return pairwise(ctx, "sub", one, a)
+    if kind == "and":
+        return pairwise(ctx, "mul", a, b)
+    ab = pairwise(ctx, "mul", a, b)
+    s = pairwise(ctx, "add", a, b)
+    if kind == "or":
+        return pairwise(ctx, "sub", s, ab)
+    if kind == "xor":
+        two_ab = pairwise(ctx, "add", ab, ab)
+        return pairwise(ctx, "sub", s, two_ab)
+    raise ValueError(kind)
+
+
+def pow_int(ctx, a: TVal, e: int) -> TVal:
+    """a^e for small static integer e by square-and-multiply muls."""
+    assert e >= 1
+    acc = None
+    base = a
+    ee = e
+    while ee:
+        if ee & 1:
+            acc = base if acc is None else pairwise(ctx, "mul", acc, base)
+        ee >>= 1
+        if ee:
+            base = pairwise(ctx, "mul", base, base)
+    return acc

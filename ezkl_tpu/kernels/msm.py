@@ -4,24 +4,24 @@ Replaces the MSM inside the reference's halo2 fork / ICICLE CUDA backend
 (SURVEY.md §2.1; dispatch seam `/root/reference/src/execute.rs:84-97`;
 consumer example `/root/reference/src/circuit/modules/polycommit.rs:45-81`).
 
-TPU-first design — no scatters, no data-dependent control flow, and small
-compiled graphs (every point-add chain is a `lax.scan`, never an unrolled
-tree, so the RCB15 complete-add subgraph appears only a handful of times):
+TPU-first design — no scatters, no data-dependent control flow, small
+compiled graphs, and few sequential steps:
 
 * Window digits for all windows are extracted up-front with static shifts
   over the 16-bit limb representation: (W, N) uint32.
-* Per window (a `lax.scan` over the window axis):
-    1. `argsort` digits (XLA sort), gather points into digit order,
-    2. blocked inclusive prefix scan of point adds: reshape (M, S) and scan
-       S sequential steps of M-wide vectorized adds, recurse on the M block
-       totals — ~sqrt(N) sequential steps, O(N) adds, O(1) add subgraphs,
-    3. the bucket phase collapses via telescoping: with exclusive prefix E
-       and bucket start offsets s_b (b = 1..B-1),
-           sum_b b*S_b = (B-1)*Total - sum_{b>=1} E[s_b]
-       so one gather + one fold replaces all bucket diffs/suffix sums.
-* Windows combine by Horner (scan: c doublings + 1 add per step), and the
-  shared (B-1)*Total term folds across windows into ONE fixed-scalar
-  multiplication: result = ((2^(cW) - 1) mod r) * Total - Horner(F_w).
+* Windows are processed in GROUPS batched through every kernel: the sort,
+  the prefix scan, the bucket fold all carry a window axis, so sequential
+  scan-step latency is amortized across windows (the dominant cost at
+  small/medium N).
+* Per window group:
+    1. `argsort` digits (batched XLA sort), gather points into digit order,
+    2. blocked inclusive prefix scan of point adds (lax.scan of M-wide
+       vectorized adds, recursing on block totals: ~2*sqrt(N) steps),
+    3. telescoped bucket phase: with exclusive prefix E and bucket start
+       offsets s_b, sum_b b*S_b = (B-1)*Total - sum_{b>=1} E[s_b] — one
+       batched gather + one fold, no per-bucket diffs or suffix scans.
+* Window combination by Horner (c doublings + add per window), with the
+  (B-1)*Total term folded in per window via U = 2^c*T - T.
 
 Multi-chip: shard the point axis; each chip runs this kernel on its shard
 and partial results are tree-added after an all_gather
@@ -44,8 +44,15 @@ _U32 = jnp.uint32
 
 
 def default_window_bits(n: int) -> int:
-    """Window size heuristic: balance per-window O(N) scan vs 2^c fold."""
+    """Window size heuristic: balance per-window O(N) work vs 2^c fold."""
     return max(2, min(16, int(n).bit_length() - 1))
+
+
+def default_group(n: int, c: int) -> int:
+    """Windows per batch group: bounded by ~2^26 staged elements."""
+    W = -(-256 // c)
+    budget = max(1, (1 << 26) // max(n, 1 << 10))
+    return max(1, min(W, budget))
 
 
 def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -74,7 +81,7 @@ def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# blocked prefix scan of point additions
+# blocked prefix scan of point additions (batched over leading dims)
 # ---------------------------------------------------------------------------
 
 _SEQ_BASE = 16  # below this, scan sequentially
@@ -94,22 +101,19 @@ def _seq_inclusive(p: PointP) -> PointP:
 
 
 def prefix_scan_points(p: PointP) -> PointP:
-    """Inclusive prefix sum of points along the last batch axis (power of 2).
-
-    Work O(N); sequential depth ~2*sqrt(N); O(1) distinct add subgraphs.
-    """
+    """Inclusive prefix sum of points along the last batch axis (power of 2,
+    arbitrary leading batch dims). Work O(N); depth ~2*sqrt(N)."""
     n = p.x.shape[-1]
     assert (n & (n - 1)) == 0, "prefix_scan_points: need power-of-two length"
     if n <= _SEQ_BASE:
         return _seq_inclusive(p)
     k = n.bit_length() - 1
-    s = 1 << ((k + 1) // 2)  # sequential steps this level
+    s = 1 << ((k + 1) // 2)
     m = n // s
     pr = jax.tree.map(lambda a: a.reshape(a.shape[:-1] + (m, s)), p)
     local = _seq_inclusive(pr)                                 # (.., m, s)
     totals = jax.tree.map(lambda a: a[..., -1], local)          # (.., m)
     tot_pref = prefix_scan_points(totals)
-    # exclusive block offsets: identity for block 0
     def shift(a):
         z = jnp.zeros_like(a[..., :1])
         return jnp.concatenate([z, a[..., :-1]], axis=-1)
@@ -129,35 +133,16 @@ def fold_points(p: PointP) -> PointP:
     return jax.tree.map(lambda a: a[..., -1], prefix_scan_points(p))
 
 
-def _scalar_mul_static(p: PointP, k: int) -> PointP:
-    """k*p for a static integer k via a bit-scan (2 add subgraphs)."""
-    fr = bn254_fr()
-    k %= fr.modulus
-    if k == 0:
-        return curve.identity(p.batch_shape)
-    nbits = k.bit_length()
-    bits = jnp.asarray(
-        [(k >> (nbits - 1 - i)) & 1 for i in range(nbits)], dtype=jnp.bool_
-    )
-
-    def body(acc, b):
-        acc = curve.dbl(acc)
-        acc = curve.select_point(b, curve.add(acc, p), acc)
-        return acc, None
-
-    out, _ = jax.lax.scan(body, curve.identity(p.batch_shape), bits)
-    return out
-
-
 # ---------------------------------------------------------------------------
 # the MSM
 # ---------------------------------------------------------------------------
 
-def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None) -> PointP:
+def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
+        group: int | None = None) -> PointP:
     """sum_i scalars[i] * points[i].
 
     points: projective PointP with batch shape (N,), N a power of two
-    (identity lanes OK — pad with identity/0 to a power of two).
+    (identity lanes OK — see `pad_msm_inputs`).
     scalars: (16, N) RAW (non-Montgomery) Fr limbs.
     Returns a single projective PointP (batch shape ()).
     """
@@ -165,46 +150,70 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None) -> PointP:
     assert (n & (n - 1)) == 0, "msm: pad N to a power of two"
     if c is None:
         c = default_window_bits(n)
+    if group is None:
+        group = default_group(n, c)
     nbuckets = 1 << c
     digits = extract_digits(scalars, c)  # (W, N)
     W = digits.shape[0]
+    # pad W to a multiple of the group size with all-zero-digit windows
+    Wp = -(-W // group) * group
+    if Wp != W:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((Wp - W, n), dtype=_U32)], axis=0)
+    dgroups = digits.reshape(Wp // group, group, n)
 
     total = fold_points(points)
 
-    def window_body(_, d):
-        order = jnp.argsort(d)
-        sorted_d = d[order]
-        sorted_pts = jax.tree.map(lambda a: a[:, order], points)
+    b_queries = jnp.arange(1, nbuckets, dtype=_U32)
+
+    def group_body(_, d):
+        # d: (G, N) digits for G windows
+        order = jnp.argsort(d, axis=-1)
+        sorted_d = jnp.take_along_axis(d, order, axis=-1)
+        # points coords (16, N) gathered with (G, N) -> (16, G, N)
+        sorted_pts = jax.tree.map(lambda a: jnp.take(a, order, axis=-1), points)
         incl = prefix_scan_points(sorted_pts)
-        # starts[b] = #digits < b, for b = 1..B-1
-        starts = jnp.searchsorted(sorted_d, jnp.arange(1, nbuckets, dtype=_U32))
-        safe = jnp.maximum(starts, 1) - 1
-        e_pts = jax.tree.map(lambda a: a[:, safe], incl)  # E[starts_b]
-        e_pts = curve.select_point(starts == 0, curve.identity(starts.shape), e_pts)
-        # pad bucket axis to power of two with identities for the fold
-        pad = max(nbuckets, 2) - (nbuckets - 1)
-        idp = curve.identity((pad,))
-        e_pad = jax.tree.map(
-            lambda a, b: jnp.concatenate([a, b], axis=-1), e_pts, idp
-        )
-        return None, fold_points(e_pad)  # F_w = sum_b E[starts_b]
+        starts = jax.vmap(lambda sd: jnp.searchsorted(sd, b_queries))(sorted_d)
+        safe = jnp.maximum(starts, 1) - 1                     # (G, B-1)
+        e_pts = jax.tree.map(
+            lambda a: jnp.take_along_axis(a, safe[None], axis=-1), incl)
+        e_pts = curve.select_point(starts == 0,
+                                   curve.identity(starts.shape), e_pts)
+        # pad bucket axis to power of two for the fold
+        pad = _next_pow2(nbuckets - 1) - (nbuckets - 1)
+        if pad:
+            idp = curve.identity(starts.shape[:-1] + (pad,))
+            e_pts = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=-1), e_pts, idp)
+        return None, fold_points(e_pts)                       # (16, G)
 
-    _, f_w = jax.lax.scan(window_body, None, digits)  # leaves (W, 16)
+    _, f_groups = jax.lax.scan(group_body, None, dgroups)
+    # leaves are (Wp/G, 16, G); window w = outer*G + inner -> (16, Wp)
+    f_w = jax.tree.map(
+        lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, -1), f_groups)
 
-    # Horner MSB-first: G = sum_w 2^(c*w) * F_w
-    def horner_body(acc, f):
+    # U = (2^c - 1) * Total = 2^c*T - T
+    u = total
+    for _ in range(c):
+        u = curve.dbl(u)
+    u = curve.add(u, _neg_point(total))
+
+    # Horner MSB-first over V_w = U - F_w  (padded windows have F_w =
+    # (B-1)*Total from all-zero digits, so V_w = 0 for them — safe)
+    def horner_body(acc, fw):
+        v = curve.add(u, _neg_point(fw))
         for _ in range(c):
             acc = curve.dbl(acc)
-        return curve.add(acc, f), None
+        return curve.add(acc, v), None
 
-    rev = jax.tree.map(lambda a: a[::-1], f_w)
-    g_sum, _ = jax.lax.scan(horner_body, curve.identity(()), rev)
+    rev = jax.tree.map(lambda a: a[..., ::-1], f_w)
+    xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), rev)
+    res, _ = jax.lax.scan(horner_body, curve.identity(()), xs)
+    return res
 
-    # result = ((2^(cW) - 1) mod r) * Total - G
-    fr = bn254_fr()
-    mult = ((1 << (c * W)) - 1) % fr.modulus
-    lead = _scalar_mul_static(total, mult)
-    return curve.add(lead, _neg_point(g_sum))
+
+def _next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
 def _neg_point(p: PointP) -> PointP:
@@ -212,16 +221,17 @@ def _neg_point(p: PointP) -> PointP:
     return PointP(p.x, limbs.neg(fq, p.y), p.z)
 
 
-@functools.lru_cache(maxsize=8)
-def _jitted_msm(c: int):
-    return jax.jit(functools.partial(msm, c=c))
+@functools.lru_cache(maxsize=16)
+def _jitted_msm(c: int, group: int | None):
+    return jax.jit(functools.partial(msm, c=c, group=group))
 
 
-def msm_jit(points: PointP, scalars: jnp.ndarray, c: int | None = None) -> PointP:
+def msm_jit(points: PointP, scalars: jnp.ndarray, c: int | None = None,
+            group: int | None = None) -> PointP:
     n = scalars.shape[-1]
     if c is None:
         c = default_window_bits(n)
-    return _jitted_msm(c)(points, scalars)
+    return _jitted_msm(c, group)(points, scalars)
 
 
 def pad_msm_inputs(points: PointP, scalars: jnp.ndarray):

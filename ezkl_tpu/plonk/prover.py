@@ -13,11 +13,19 @@ Protocol (own verifier; see `verifier.py`):
  7. GWC multiopen: v (intra-point RLC), one witness commitment per point, u
 Row n-1 is reserved (running constraints masked by (1 - l_last)); circuits
 must keep their last row empty.
+
+Compilation model: all device work is grouped into FIVE jitted stage
+functions built once per ProvingKey (cached on the pk object). Fiat-Shamir
+challenges enter as (16,) Montgomery device scalars, so a new proof never
+retraces or recompiles.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os as _os
+import time as _time
 from collections import defaultdict
 
 import numpy as np
@@ -37,9 +45,6 @@ from .srs import SRS
 from .transcript import Transcript, decode_point_host, decode_scalar_host
 
 FR = bn254_fr()
-
-import os as _os
-import time as _time
 
 _TRACE = _os.environ.get("EZKL_TPU_TRACE", "")
 _t0 = _time.time()
@@ -119,7 +124,8 @@ def _running_product(v):
     return jnp.concatenate([one, incl[..., :-1]], axis=-1)
 
 
-def lagrange_basis_ext(dom: Domain, index: int) -> jnp.ndarray:
+@functools.lru_cache(maxsize=64)
+def _lagrange_basis_ext(dom: Domain, index: int) -> jnp.ndarray:
     """l_index evaluated over the extended coset (16, n_ext)."""
     e = np.zeros((NLIMBS, dom.n), np.uint32)
     with jax.ensure_compile_time_eval():
@@ -129,13 +135,256 @@ def lagrange_basis_ext(dom: Domain, index: int) -> jnp.ndarray:
         return dom.coeff_to_extended(coeff)
 
 
-def _queries_by_rotation(cs: ConstraintSystem):
-    """All (kind, index, rotation) needed, plus Z/phi rotations."""
-    return cs.all_queries()
-
-
 def _eval_label(kind: str, index: int, rotation: int) -> str:
     return f"{kind}{index}@{rotation}"
+
+
+def _bcast(s, shape):
+    return jnp.broadcast_to(s.reshape((NLIMBS,) + (1,) * (len(shape) - 1)), shape)
+
+
+# ---------------------------------------------------------------------------
+# per-circuit jitted stage kernels (cached on the ProvingKey)
+# ---------------------------------------------------------------------------
+
+class ProverKernels:
+    """Builds the jitted stage functions for one (cs, domain) pair.
+
+    Challenges are passed as (16,) Montgomery device scalars; structure
+    (gates, chunks, lookups) is closed over statically.
+    """
+
+    def __init__(self, pk: ProvingKey):
+        cs = pk.vk.cs
+        dom = pk.vk.domain
+        n = dom.n
+        ext = dom.n_ext
+        step = ext // n
+        m_perm = len(cs.perm_columns)
+        chunk = cs.perm_chunk_size()
+        chunks = [list(range(i, min(i + chunk, m_perm)))
+                  for i in range(0, m_perm, chunk)]
+        self.cs, self.dom, self.chunks = cs, dom, chunks
+        num_ch = cs.num_challenges
+
+        with jax.ensure_compile_time_eval():
+            wpow = limbs.jitted(FR).powers(dom.omega, n)
+            dpow = limbs.jitted(FR).powers(DELTA, max(m_perm, 1))
+            coset_pts = limbs.jitted(FR).mont_mul(
+                limbs.jitted(FR).powers(dom.omega_ext, ext),
+                jnp.broadcast_to(limbs.const(FR, FR.generator)[:, None],
+                                 (NLIMBS, ext)))
+        l0_ext = _lagrange_basis_ext(dom, 0)
+        llast_ext = _lagrange_basis_ext(dom, n - 1)
+        one_ext = limbs.ones_mont(FR, (ext,))
+        not_last = limbs.jitted(FR).sub(one_ext, llast_ext)
+        sigma_l = pk.sigma_lagrange
+
+        def ctx_of(cols, rot_step, ch_list):
+            return EvalCtx(columns=cols, rot_step=rot_step,
+                           challenges={i: c for i, c in enumerate(ch_list)})
+
+        def compress(tup, ctx, theta):
+            acc = None
+            for e in tup:
+                v = evaluate(e, ctx)
+                acc = v if acc is None else limbs.add(
+                    FR, limbs.mont_mul(FR, acc, _bcast(theta, v.shape)), v)
+            return acc
+
+        # ---- stage A: lookup compression over H -------------------------
+        def stage_compress(advice_l, fixed_l, instance_l, theta, *ch):
+            cols = {FIXED: fixed_l, ADVICE: advice_l, INSTANCE: instance_l}
+            ctx = ctx_of(cols, 1, ch)
+            fs_all, t_all = [], []
+            for lk in cs.lookups:
+                fs_all.append([compress(tup, ctx, theta) for tup in lk.inputs])
+                t_all.append(compress(lk.table, ctx, theta))
+            return fs_all, t_all
+
+        self.stage_compress = jax.jit(stage_compress)
+
+        # ---- stage B: permutation Z + lookup phi ------------------------
+        def stage_zphi(advice_l, fixed_l, instance_l, beta, gamma,
+                       fs_all, t_all, m_all):
+            cols = {FIXED: fixed_l, ADVICE: advice_l, INSTANCE: instance_l}
+            bb = beta[:, None]
+            gg = gamma[:, None]
+
+            def col_vals(j):
+                c = cs.perm_columns[j]
+                return cols[c.kind][c.index]
+
+            z_list = []
+            carry = limbs.ones_mont(FR, ())
+            for cset in chunks:
+                num = den = None
+                for j in cset:
+                    v = col_vals(j)
+                    idj = limbs.mont_mul(FR, dpow[:, j][:, None], wpow)
+                    a = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                        FR, jnp.broadcast_to(bb, idj.shape), idj)), gg)
+                    b = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                        FR, jnp.broadcast_to(bb, v.shape), sigma_l[j])), gg)
+                    num = a if num is None else limbs.mont_mul(FR, num, a)
+                    den = b if den is None else limbs.mont_mul(FR, den, b)
+                ratio = limbs.mont_mul(FR, num, limbs.batch_inv(FR, den))
+                z = _running_product(ratio)
+                z = limbs.mont_mul(FR, z, jnp.broadcast_to(carry[:, None], z.shape))
+                carry = z[..., n - 1]
+                z_list.append(z)
+
+            phi_list = []
+            for fs, t, m_dev in zip(fs_all, t_all, m_all):
+                inv_f = [limbs.batch_inv(FR, limbs.add(FR, f, bb)) for f in fs]
+                inv_t = limbs.batch_inv(FR, limbs.add(FR, t, bb))
+                term = None
+                for invf in inv_f:
+                    term = invf if term is None else limbs.add(FR, term, invf)
+                term = limbs.sub(FR, term, limbs.mont_mul(FR, m_dev, inv_t))
+                mask = jnp.ones((n,), dtype=bool).at[n - 1].set(False)
+                term = limbs.select(mask, term, jnp.zeros_like(term))
+                phi_list.append(_running_sum(term))
+            return z_list, phi_list
+
+        self.stage_zphi = jax.jit(stage_zphi)
+
+        # ---- stage C: quotient over the extended coset ------------------
+        def to_ext(v):
+            vv = v if v.ndim == 3 else v[None]
+            vv = jnp.moveaxis(vv, 1, 0)
+            out = dom.coeff_to_extended(nttmod.intt(FR, vv))
+            out = jnp.moveaxis(out, 0, 1)
+            return out if v.ndim == 3 else out[0]
+
+        def stage_quotient(advice_l, fixed_l, instance_l, theta, beta, gamma,
+                           y, z_list, phi_list, m_all, *ch):
+            y1 = y[:, None]
+            bb = beta[:, None]
+            gg = gamma[:, None]
+
+            def empty(c):
+                return jnp.zeros((0, NLIMBS, ext), jnp.uint32)
+
+            cols_ext = {
+                FIXED: to_ext(fixed_l) if cs.num_fixed else empty(0),
+                ADVICE: to_ext(advice_l) if cs.num_advice else empty(0),
+                INSTANCE: to_ext(instance_l) if cs.num_instance else empty(0),
+            }
+            ctx = ctx_of(cols_ext, step, ch)
+            total = jnp.zeros((NLIMBS, ext), jnp.uint32)
+
+            def acc(total, term):
+                return limbs.add(FR, limbs.mont_mul(
+                    FR, total, jnp.broadcast_to(y1, total.shape)), term)
+
+            for g in cs.gates:
+                total = acc(total, evaluate(g.poly, ctx))
+
+            if m_perm:
+                sig_ext = to_ext(sigma_l)
+                z_ext = [to_ext(z) for z in z_list]
+                for ci, cset in enumerate(chunks):
+                    z_e = z_ext[ci]
+                    z_next = jnp.roll(z_e, -step, axis=-1)
+                    num = den = None
+                    for j in cset:
+                        c = cs.perm_columns[j]
+                        v = cols_ext[c.kind][c.index]
+                        idj = limbs.mont_mul(FR, dpow[:, j][:, None], coset_pts)
+                        a = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                            FR, jnp.broadcast_to(bb, idj.shape), idj)), gg)
+                        b = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                            FR, jnp.broadcast_to(bb, v.shape), sig_ext[j])), gg)
+                        num = a if num is None else limbs.mont_mul(FR, num, a)
+                        den = b if den is None else limbs.mont_mul(FR, den, b)
+                    running = limbs.sub(FR, limbs.mont_mul(FR, z_next, den),
+                                        limbs.mont_mul(FR, z_e, num))
+                    total = acc(total, limbs.mont_mul(FR, not_last, running))
+                    if ci == 0:
+                        total = acc(total, limbs.mont_mul(
+                            FR, l0_ext, limbs.sub(FR, z_e, one_ext)))
+                    else:
+                        prev_last = jnp.roll(z_ext[ci - 1], step, axis=-1)
+                        total = acc(total, limbs.mont_mul(
+                            FR, l0_ext, limbs.sub(FR, z_e, prev_last)))
+                    if ci == len(chunks) - 1:
+                        total = acc(total, limbs.mont_mul(
+                            FR, llast_ext, limbs.sub(FR, z_e, one_ext)))
+
+            theta_b = theta
+            for li, lk in enumerate(cs.lookups):
+                phi_e = to_ext(phi_list[li])
+                m_e = to_ext(m_all[li])
+                f_exts = [limbs.add(FR, compress(tup, ctx, theta_b), bb)
+                          for tup in lk.inputs]
+                t_e = limbs.add(FR, compress(lk.table, ctx, theta_b), bb)
+                prod_f = None
+                for fpb in f_exts:
+                    prod_f = fpb if prod_f is None else limbs.mont_mul(FR, prod_f, fpb)
+                if len(f_exts) == 1:
+                    sum_except = one_ext
+                else:
+                    sum_except = None
+                    for kk in range(len(f_exts)):
+                        pr = None
+                        for jj, fpb in enumerate(f_exts):
+                            if jj == kk:
+                                continue
+                            pr = fpb if pr is None else limbs.mont_mul(FR, pr, fpb)
+                        sum_except = pr if sum_except is None else limbs.add(FR, sum_except, pr)
+                phi_next = jnp.roll(phi_e, -step, axis=-1)
+                diff = limbs.sub(FR, phi_next, phi_e)
+                lhs = limbs.mont_mul(FR, limbs.mont_mul(FR, diff, prod_f), t_e)
+                rhs = limbs.sub(FR, limbs.mont_mul(FR, t_e, sum_except),
+                                limbs.mont_mul(FR, m_e, prod_f))
+                running = limbs.sub(FR, lhs, rhs)
+                total = acc(total, limbs.mont_mul(FR, not_last, running))
+                total = acc(total, limbs.mont_mul(FR, l0_ext, phi_e))
+                total = acc(total, limbs.mont_mul(FR, llast_ext, phi_e))
+
+            h_ext = limbs.mont_mul(FR, total, dom.vanishing_inv_on_extended())
+            h_coeff = dom.extended_to_coeff(h_ext)
+            return [h_coeff[..., i * n:(i + 1) * n] for i in range(ext // n)]
+
+        self.stage_quotient = jax.jit(stage_quotient)
+
+        # ---- stage D: batched evaluation at an opening point ------------
+        def stage_eval(coeff_stack, z_mont):
+            """coeff_stack (Q, 16, n) all at the SAME point -> (Q, 16)."""
+            pw = limbs.powers_dynamic(FR, z_mont, n)
+            vv = jnp.moveaxis(coeff_stack, 1, 0)              # (16, Q, n)
+            prod = limbs.mont_mul(FR, vv, pw[:, None, :])
+            return jnp.moveaxis(kzg._sum_last(prod), 0, 1)    # hm: (16,Q)->(Q,16)
+
+        self.stage_eval = jax.jit(stage_eval)
+
+        # ---- stage E: one opening witness --------------------------------
+        def stage_open(lagrange_stack, evals_stack, v_ch, z_mont):
+            """RLC-combine polys (Q, 16, n evals over H) + values (Q, 16),
+            build (q - v)/(X - z) witness evals over H."""
+            q_comb = lagrange_stack[0]
+            v_comb = evals_stack[0]
+            for i in range(1, lagrange_stack.shape[0]):
+                q_comb = limbs.add(FR, limbs.mont_mul(
+                    FR, q_comb, _bcast(v_ch, q_comb.shape)), lagrange_stack[i])
+                v_comb = limbs.add(FR, limbs.mont_mul(FR, v_comb, v_ch),
+                                   evals_stack[i])
+            zb = jnp.broadcast_to(z_mont[:, None], (NLIMBS, n))
+            inv = limbs.batch_inv(FR, limbs.sub(FR, wpow, zb))
+            num = limbs.sub(FR, q_comb,
+                            jnp.broadcast_to(v_comb[:, None], q_comb.shape))
+            return limbs.mont_mul(FR, num, inv)
+
+        self.stage_open = jax.jit(stage_open)
+
+
+def _kernels(pk: ProvingKey) -> ProverKernels:
+    kern = getattr(pk, "_kernels", None)
+    if kern is None:
+        kern = ProverKernels(pk)
+        pk._kernels = kern
+    return kern
 
 
 # ---------------------------------------------------------------------------
@@ -148,51 +397,36 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     dom = pk.vk.domain
     k, n, p = pk.vk.k, dom.n, FR.modulus
     tr = transcript or Transcript()
+    kern = _kernels(pk)
+    chunks = kern.chunks
+    m_perm = len(cs.perm_columns)
 
     _span("phase1: bind vk+instances")
-    # ---- 1. bind vk + instances
     tr.common_bytes(pk.vk.transcript_repr())
     for col in asg.instance:
         for v in col:
             tr.common_scalar(v)
 
     _span("phase2: advice commitments")
-    # ---- 2. advice commitments (single phase for now)
     advice_l = asg.device_columns(ADVICE)            # (na, 16, n) mont
     advice_comms = []
     for i in range(cs.num_advice):
         c = decode_point_host(kzg.commit_lagrange(srs, advice_l[i]))
         advice_comms.append(c)
         tr.common_point(c)
-    challenges = {i: tr.challenge() for i in range(cs.num_challenges)}
+    challenges = [tr.challenge() for _ in range(cs.num_challenges)]
+    ch_dev = [limbs.const(FR, v) for v in challenges]
 
     fixed_l = pk.fixed_lagrange
     instance_l = asg.instance_device()
-    cols_l = {FIXED: fixed_l, ADVICE: advice_l, INSTANCE: instance_l}
-    ch_dev = {i: limbs.const(FR, v) for i, v in challenges.items()}
-    ctx_l = EvalCtx(columns=cols_l, rot_step=1, challenges=ch_dev)
 
     _span("phase3: lookups m")
-    # ---- 3. theta: lookup compression + multiplicities
     theta = tr.challenge()
     theta_dev = limbs.const(FR, theta)
-
-    lookup_f = []      # per lookup: list of (16, n) compressed input streams
-    lookup_t = []      # per lookup: (16, n) compressed table
-    lookup_m = []      # per lookup: (16, n) multiplicities (mont)
-    m_comms = []
-    for lk in cs.lookups:
-        def compress(tup):
-            acc = None
-            for e in tup:
-                v = evaluate(e, ctx_l)
-                acc = v if acc is None else limbs.add(
-                    FR, limbs.mont_mul(FR, acc, jnp.broadcast_to(theta_dev[:, None], v.shape)), v)
-            return acc
-
-        fs = [compress(tup) for tup in lk.inputs]
-        t = compress(lk.table)
-        # multiplicities on host (counting); usable rows only
+    fs_all, t_all = kern.stage_compress(advice_l, fixed_l, instance_l,
+                                        theta_dev, *ch_dev)
+    m_all, m_comms = [], []
+    for lk, fs, t in zip(cs.lookups, fs_all, t_all):
         t_ints = [int(x) for x in limbs.decode(FR, t)]
         counts = defaultdict(int)
         for f in fs:
@@ -212,205 +446,36 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         if missing:
             raise ValueError(f"lookup '{lk.name}': {missing} input values not in table")
         m_dev = jnp.asarray(limbs.encode(FR, m_host))
-        lookup_f.append(fs)
-        lookup_t.append(t)
-        lookup_m.append(m_dev)
+        m_all.append(m_dev)
         cpt = decode_point_host(kzg.commit_lagrange(srs, m_dev))
         m_comms.append(cpt)
         tr.common_point(cpt)
 
     _span("phase4: perm z + phi")
-    # ---- 4. beta, gamma: permutation Z + lookup phi
     beta = tr.challenge()
     gamma = tr.challenge()
-    beta_dev = limbs.const(FR, beta)[:, None]
-    gamma_dev = limbs.const(FR, gamma)[:, None]
-
-    m_perm = len(cs.perm_columns)
-    chunk = cs.perm_chunk_size()
-    chunks = [list(range(i, min(i + chunk, m_perm))) for i in range(0, m_perm, chunk)]
-
-    with jax.ensure_compile_time_eval():
-        wpow = limbs.jitted(FR).powers(dom.omega, n)             # id row part
-        dpow = limbs.jitted(FR).powers(DELTA, max(m_perm, 1))
-
-    def col_vals(j):
-        c = cs.perm_columns[j]
-        return cols_l[c.kind][c.index]
-
-    z_polys = []
+    beta_dev = limbs.const(FR, beta)
+    gamma_dev = limbs.const(FR, gamma)
+    z_list, phi_list = kern.stage_zphi(advice_l, fixed_l, instance_l,
+                                       beta_dev, gamma_dev, fs_all, t_all, m_all)
     z_comms = []
-    carry = limbs.ones_mont(FR, ())                              # chain value
-    for ci, cset in enumerate(chunks):
-        num = None
-        den = None
-        for j in cset:
-            v = col_vals(j)
-            idj = limbs.mont_mul(FR, dpow[:, j][:, None], wpow)  # delta^j w^i
-            a = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
-                FR, jnp.broadcast_to(beta_dev, idj.shape), idj)), gamma_dev)
-            s = pk.sigma_lagrange[j]
-            b = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
-                FR, jnp.broadcast_to(beta_dev, s.shape), s)), gamma_dev)
-            num = a if num is None else limbs.mont_mul(FR, num, a)
-            den = b if den is None else limbs.mont_mul(FR, den, b)
-        ratio = limbs.mont_mul(FR, num, limbs.batch_inv(FR, den))
-        z = _running_product(ratio)                              # z[0] = 1
-        z = limbs.mont_mul(FR, z, jnp.broadcast_to(carry[:, None], z.shape))
-        # next chunk chains from Z_t(w^{n-1}) (product through row n-2; the
-        # reserved last row's factor never enters any product)
-        carry = z[..., n - 1]
-        z_polys.append(z)
+    for z in z_list:
         cpt = decode_point_host(kzg.commit_lagrange(srs, z))
         z_comms.append(cpt)
         tr.common_point(cpt)
-
-    phi_polys = []
     phi_comms = []
-    for fs, t, m_dev in zip(lookup_f, lookup_t, lookup_m):
-        inv_f = [limbs.batch_inv(FR, limbs.add(FR, f, beta_dev)) for f in fs]
-        inv_t = limbs.batch_inv(FR, limbs.add(FR, t, beta_dev))
-        term = None
-        for invf in inv_f:
-            term = invf if term is None else limbs.add(FR, term, invf)
-        term = limbs.sub(FR, term, limbs.mont_mul(FR, m_dev, inv_t))
-        # zero the reserved last row's contribution
-        mask = jnp.ones((n,), dtype=bool).at[n - 1].set(False)
-        term = limbs.select(mask[None, :].squeeze(0), term, jnp.zeros_like(term))
-        phi = _running_sum(term)
-        phi_polys.append(phi)
+    for phi in phi_list:
         cpt = decode_point_host(kzg.commit_lagrange(srs, phi))
         phi_comms.append(cpt)
         tr.common_point(cpt)
 
     _span("phase5: quotient")
-    # ---- 5. y: quotient
     y = tr.challenge()
-
-    ext = dom.n_ext
-    step = ext // n
-
-    def to_ext(v):
-        # v: (..., 16, n) lagrange -> (..., 16, n_ext); batch over leading dims
-        vv = v if v.ndim == 3 else v[None]
-        vv = jnp.moveaxis(vv, 1, 0)                              # (16, B, n)
-        coeff = nttmod.intt(FR, vv)
-        out = dom.coeff_to_extended(coeff)
-        out = jnp.moveaxis(out, 0, 1)
-        return out if v.ndim == 3 else out[0]
-
-    cols_ext = {
-        FIXED: to_ext(fixed_l) if cs.num_fixed else fixed_l.reshape(0, NLIMBS, ext),
-        ADVICE: to_ext(advice_l) if cs.num_advice else advice_l.reshape(0, NLIMBS, ext),
-        INSTANCE: to_ext(instance_l) if cs.num_instance else instance_l.reshape(0, NLIMBS, ext),
-    }
-    ctx_ext = EvalCtx(columns=cols_ext, rot_step=step, challenges=ch_dev)
-
-    y_dev = limbs.const(FR, y)[:, None]
-    total = jnp.zeros((NLIMBS, ext), jnp.uint32)
-
-    def acc(total, term):
-        return limbs.add(FR, limbs.mont_mul(FR, total, jnp.broadcast_to(y_dev, total.shape)), term)
-
-    for g in cs.gates:
-        total = acc(total, evaluate(g.poly, ctx_ext))
-
-    l0_ext = lagrange_basis_ext(dom, 0)
-    llast_ext = lagrange_basis_ext(dom, n - 1)
-    one_ext = limbs.ones_mont(FR, (ext,))
-    not_last = limbs.sub(FR, one_ext, llast_ext)
-
-    # permutation constraints on extended domain
-    if m_perm:
-        sig_ext = to_ext(pk.sigma_lagrange)
-        z_ext = to_ext(jnp.stack(z_polys)) if z_polys else None
-        with jax.ensure_compile_time_eval():
-            # id poly on extended coset: value g*w'^i (the coset point itself)
-            coset_pts = limbs.mont_mul(
-                FR,
-                limbs.jitted(FR).powers(dom.omega_ext, ext),
-                jnp.broadcast_to(limbs.const(FR, FR.generator)[:, None], (NLIMBS, ext)),
-            )
-        for ci, cset in enumerate(chunks):
-            z_e = z_ext[ci]
-            z_next = jnp.roll(z_e, -step, axis=-1)
-            num = None
-            den = None
-            for j in cset:
-                c = cs.perm_columns[j]
-                v = cols_ext[c.kind][c.index]
-                idj = limbs.mont_mul(FR, dpow[:, j][:, None], coset_pts)
-                a = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
-                    FR, jnp.broadcast_to(beta_dev, idj.shape), idj)), gamma_dev)
-                b = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
-                    FR, jnp.broadcast_to(beta_dev, v.shape), sig_ext[j])), gamma_dev)
-                num = a if num is None else limbs.mont_mul(FR, num, a)
-                den = b if den is None else limbs.mont_mul(FR, den, b)
-            running = limbs.sub(FR, limbs.mont_mul(FR, z_next, den),
-                                limbs.mont_mul(FR, z_e, num))
-            total = acc(total, limbs.mont_mul(FR, not_last, running))
-            if ci == 0:
-                total = acc(total, limbs.mont_mul(
-                    FR, l0_ext, limbs.sub(FR, z_e, one_ext)))
-            else:
-                prev_last = jnp.roll(z_ext[ci - 1], step, axis=-1)  # Z_{t-1}(w^-1 X)
-                total = acc(total, limbs.mont_mul(
-                    FR, l0_ext, limbs.sub(FR, z_e, prev_last)))
-            if ci == len(chunks) - 1:
-                total = acc(total, limbs.mont_mul(
-                    FR, llast_ext, limbs.sub(FR, z_e, one_ext)))
-
-    # lookup constraints on extended domain
-    phi_ext_list = []
-    for li, lk in enumerate(cs.lookups):
-        phi_e = to_ext(phi_polys[li])
-        phi_ext_list.append(phi_e)
-        m_e = to_ext(lookup_m[li])
-        f_exts = []
-        for tup in lk.inputs:
-            accv = None
-            for e in tup:
-                v = evaluate(e, ctx_ext)
-                accv = v if accv is None else limbs.add(
-                    FR, limbs.mont_mul(FR, accv, jnp.broadcast_to(theta_dev[:, None], v.shape)), v)
-            f_exts.append(limbs.add(FR, accv, beta_dev))        # f + beta
-        accv = None
-        for e in lk.table:
-            v = evaluate(e, ctx_ext)
-            accv = v if accv is None else limbs.add(
-                FR, limbs.mont_mul(FR, accv, jnp.broadcast_to(theta_dev[:, None], v.shape)), v)
-        t_e = limbs.add(FR, accv, beta_dev)                     # t + beta
-        prod_f = None
-        for fpb in f_exts:
-            prod_f = fpb if prod_f is None else limbs.mont_mul(FR, prod_f, fpb)
-        # sum_k prod_{j != k} (f_j + beta)
-        if len(f_exts) == 1:
-            sum_except = one_ext
-        else:
-            sum_except = None
-            for kk in range(len(f_exts)):
-                pr = None
-                for jj, fpb in enumerate(f_exts):
-                    if jj == kk:
-                        continue
-                    pr = fpb if pr is None else limbs.mont_mul(FR, pr, fpb)
-                sum_except = pr if sum_except is None else limbs.add(FR, sum_except, pr)
-        phi_next = jnp.roll(phi_e, -step, axis=-1)
-        diff = limbs.sub(FR, phi_next, phi_e)
-        lhs = limbs.mont_mul(FR, limbs.mont_mul(FR, diff, prod_f), t_e)
-        rhs = limbs.sub(FR, limbs.mont_mul(FR, t_e, sum_except),
-                        limbs.mont_mul(FR, m_e, prod_f))
-        running = limbs.sub(FR, lhs, rhs)
-        total = acc(total, limbs.mont_mul(FR, not_last, running))
-        total = acc(total, limbs.mont_mul(FR, l0_ext, phi_e))
-        total = acc(total, limbs.mont_mul(FR, llast_ext, phi_e))
-
-    _span("phase5b: divide+split h")
-    # divide by Z_H and split
-    h_ext = limbs.mont_mul(FR, total, dom.vanishing_inv_on_extended())
-    h_coeff = dom.extended_to_coeff(h_ext)                       # (16, n_ext)
-    num_pieces = ext // n
-    h_pieces = [h_coeff[..., i * n:(i + 1) * n] for i in range(num_pieces)]
+    y_dev = limbs.const(FR, y)
+    h_pieces = kern.stage_quotient(advice_l, fixed_l, instance_l, theta_dev,
+                                   beta_dev, gamma_dev, y_dev, z_list,
+                                   phi_list, m_all, *ch_dev)
+    _span("phase5b: commit h")
     h_comms = []
     for piece in h_pieces:
         cpt = decode_point_host(kzg.commit_coeff(srs, piece))
@@ -418,97 +483,92 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         tr.common_point(cpt)
 
     _span("phase6: evaluations")
-    # ---- 6. x: evaluations
     x = tr.challenge()
     evals: dict[str, int] = {}
 
-    # coefficient forms for evaluation + opening
+    # gather coefficient forms once
     coeff_cache: dict[str, jnp.ndarray] = {}
+    cols_l = {FIXED: fixed_l, ADVICE: advice_l, INSTANCE: instance_l}
 
-    def coeff_of(kind, index):
+    def coeff_of_col(kind, index):
         key = f"{kind}{index}"
         if key not in coeff_cache:
             coeff_cache[key] = nttmod.intt(FR, cols_l[kind][index])
         return coeff_cache[key]
 
-    def eval_poly_at(coeffs, point: int) -> int:
-        return decode_scalar_host(kzg.eval_coeff_at(coeffs, point, k))
-
     queries = cs.all_queries()
-    # point for rotation r: w^r * x
+
     def rot_point(r):
         return dom.rotate_omega(x, r)
 
+    # batch poly evaluations by point
+    eval_jobs: dict[int, list] = defaultdict(list)  # point -> [(label, coeffs)]
     for q in queries:
         if q.column.kind == INSTANCE:
-            continue  # verifier computes instance evals itself
-        val = eval_poly_at(coeff_of(q.column.kind, q.column.index), rot_point(q.rotation))
-        evals[_eval_label(q.column.kind, q.column.index, q.rotation)] = val
-
+            continue
+        label = _eval_label(q.column.kind, q.column.index, q.rotation)
+        eval_jobs[rot_point(q.rotation)].append(
+            (label, coeff_of_col(q.column.kind, q.column.index)))
+    sigma_coeff = [nttmod.intt(FR, pk.sigma_lagrange[j]) for j in range(m_perm)]
+    z_coeff = [nttmod.intt(FR, z) for z in z_list]
+    phi_coeff = [nttmod.intt(FR, phi) for phi in phi_list]
+    m_coeff = [nttmod.intt(FR, m) for m in m_all]
     for j in range(m_perm):
-        evals[f"sigma{j}@0"] = eval_poly_at(nttmod.intt(FR, pk.sigma_lagrange[j]), x)
+        eval_jobs[x].append((f"sigma{j}@0", sigma_coeff[j]))
     for ci in range(len(chunks)):
-        zc = nttmod.intt(FR, z_polys[ci])
-        evals[f"permz{ci}@0"] = eval_poly_at(zc, x)
-        evals[f"permz{ci}@1"] = eval_poly_at(zc, rot_point(1))
+        eval_jobs[x].append((f"permz{ci}@0", z_coeff[ci]))
+        eval_jobs[rot_point(1)].append((f"permz{ci}@1", z_coeff[ci]))
         if ci > 0:
-            evals[f"permz{ci - 1}@-1"] = eval_poly_at(
-                nttmod.intt(FR, z_polys[ci - 1]), rot_point(-1))
+            eval_jobs[rot_point(-1)].append((f"permz{ci - 1}@-1", z_coeff[ci - 1]))
     for li in range(len(cs.lookups)):
-        pc = nttmod.intt(FR, phi_polys[li])
-        evals[f"phi{li}@0"] = eval_poly_at(pc, x)
-        evals[f"phi{li}@1"] = eval_poly_at(pc, rot_point(1))
-        evals[f"lkm{li}@0"] = eval_poly_at(nttmod.intt(FR, lookup_m[li]), x)
+        eval_jobs[x].append((f"phi{li}@0", phi_coeff[li]))
+        eval_jobs[rot_point(1)].append((f"phi{li}@1", phi_coeff[li]))
+        eval_jobs[x].append((f"lkm{li}@0", m_coeff[li]))
     for i, piece in enumerate(h_pieces):
-        evals[f"h{i}@0"] = eval_poly_at(piece, x)
+        eval_jobs[x].append((f"h{i}@0", piece))
+
+    for point, jobs in eval_jobs.items():
+        stack = jnp.stack([c for _, c in jobs])
+        vals = kern.stage_eval(stack, limbs.const(FR, point))
+        for (label, _), row in zip(jobs, np.asarray(vals)):
+            evals[label] = int(limbs.decode(FR, row[:, None])[0])
 
     for label in sorted(evals):
         tr.common_scalar(evals[label])
 
     _span("phase7: multiopen")
-    # ---- 7. GWC multiopen
     v_ch = tr.challenge()
+    v_dev = limbs.const(FR, v_ch)
 
-    # group (poly, eval) by opening point; include everything opened above
-    groups: dict[int, list] = defaultdict(list)
-
-    def poly_lagrange(kind, index):
-        return cols_l[kind][index]
-
+    groups: dict[int, list] = defaultdict(list)  # point -> [(lagrange, eval_label)]
     for q in queries:
         if q.column.kind == INSTANCE:
             continue
         label = _eval_label(q.column.kind, q.column.index, q.rotation)
         groups[rot_point(q.rotation)].append(
-            (poly_lagrange(q.column.kind, q.column.index), evals[label]))
+            (cols_l[q.column.kind][q.column.index], label))
     for j in range(m_perm):
-        groups[x].append((pk.sigma_lagrange[j], evals[f"sigma{j}@0"]))
+        groups[x].append((pk.sigma_lagrange[j], f"sigma{j}@0"))
     for ci in range(len(chunks)):
-        groups[x].append((z_polys[ci], evals[f"permz{ci}@0"]))
-        groups[rot_point(1)].append((z_polys[ci], evals[f"permz{ci}@1"]))
+        groups[x].append((z_list[ci], f"permz{ci}@0"))
+        groups[rot_point(1)].append((z_list[ci], f"permz{ci}@1"))
         if ci > 0:
-            groups[rot_point(-1)].append((z_polys[ci - 1], evals[f"permz{ci - 1}@-1"]))
+            groups[rot_point(-1)].append((z_list[ci - 1], f"permz{ci - 1}@-1"))
     for li in range(len(cs.lookups)):
-        groups[x].append((phi_polys[li], evals[f"phi{li}@0"]))
-        groups[rot_point(1)].append((phi_polys[li], evals[f"phi{li}@1"]))
-        groups[x].append((lookup_m[li], evals[f"lkm{li}@0"]))
+        groups[x].append((phi_list[li], f"phi{li}@0"))
+        groups[rot_point(1)].append((phi_list[li], f"phi{li}@1"))
+        groups[x].append((m_all[li], f"lkm{li}@0"))
     for i, piece in enumerate(h_pieces):
-        groups[x].append((nttmod.ntt(FR, piece), evals[f"h{i}@0"]))
+        groups[x].append((nttmod.ntt(FR, piece), f"h{i}@0"))
 
     opening_comms = []
     for point in sorted(groups):
         items = groups[point]
-        q_comb = None
-        v_comb = 0
-        for poly, ev in items:
-            if q_comb is None:
-                q_comb = poly
-                v_comb = ev
-            else:
-                vb = jnp.broadcast_to(limbs.const(FR, v_ch)[:, None], poly.shape)
-                q_comb = limbs.add(FR, limbs.mont_mul(FR, q_comb, vb), poly)
-                v_comb = (v_comb * v_ch + ev) % p
-        w_evals = kzg.open_witness_evals(q_comb, limbs.const(FR, v_comb), point, k)
+        lag_stack = jnp.stack([poly for poly, _ in items])
+        ev_stack = jnp.stack(
+            [limbs.const(FR, evals[label]) for _, label in items])
+        w_evals = kern.stage_open(lag_stack, ev_stack, v_dev,
+                                  limbs.const(FR, point))
         cpt = decode_point_host(kzg.commit_lagrange(srs, w_evals))
         opening_comms.append(cpt)
         tr.common_point(cpt)

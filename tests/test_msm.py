@@ -24,12 +24,12 @@ def run_msm(points_host, scalars_host, c):
 
     pts = curve.encode_points(points_host)
     sc = jnp.asarray(limbs.encode(FR, scalars_host, mont=False))
-    out = msmmod.msm_jit(pts, sc, c=c)
+    out = msmmod.msm_jit(pts, sc, c=c, group=2)
     batched = jax.tree.map(lambda a: a[:, None], out)
     return curve.decode_points(batched)[0]
 
 
-@pytest.mark.parametrize("n,c", [(8, 4), (32, 6)])
+@pytest.mark.parametrize("n,c", [(8, 4), (32, 4)])
 def test_msm_matches_host(n, c):
     pts = rand_points(n)
     scalars = [rng.randrange(FR.modulus) for _ in range(n)]

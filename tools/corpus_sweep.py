@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Sweep the reference ONNX example corpus: parse -> settings -> witness ->
+mock; compare rescaled outputs to the example's recorded output_data.
+
+The single-process analog of the reference's mock test matrix + accuracy
+gate (`tests/integration_tests.rs` + `tests/output_comparison.py`,
+SURVEY.md §4). Usage: python tools/corpus_sweep.py [model ...]
+"""
+
+import json
+import os
+import pathlib
+import sys
+import traceback
+
+os.environ.setdefault("TF_CPP_MIN_LOG_LEVEL", "3")
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  str(pathlib.Path(__file__).resolve().parent.parent / ".cache" / "jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+from ezkl_tpu.graph.circuit import GraphCircuit  # noqa: E402
+from ezkl_tpu.graph.run_args import RunArgs  # noqa: E402
+
+REF = pathlib.Path("/root/reference/examples/onnx")
+
+DEFAULT_MODELS = [
+    "1l_relu", "1l_sigmoid", "1l_tanh", "1l_leakyrelu", "1l_erf", "1l_sqrt",
+    "1l_identity", "1l_reshape", "1l_flatten", "1l_linear", "1l_mlp",
+    "1l_average", "1l_div", "1l_pad", "1l_slice", "1l_concat",
+    "1l_batch_norm", "1l_conv", "1l_max_pool", "1l_softmax",
+    "1l_mean", "1l_powf", "2l_relu_small", "2l_relu_sigmoid_small",
+    "2l_sigmoid_small", "2l_relu_fc", "1l_where", "exp", "clip",
+    "3l_relu_conv_fc", "1l_average", "2l_relu_sigmoid_conv", "4l_relu_conv_fc",
+    "2l_relu_sigmoid",
+]
+
+
+def run_one(name: str, check_mock=True):
+    d = REF / name
+    inp = json.loads((d / "input.json").read_text())
+    ra = RunArgs(input_scale=7, param_scale=7, lookup_range=(-32768, 32768),
+                 logrows=17)
+    gc = GraphCircuit.from_onnx(str(d / "network.onnx"), ra)
+    shapes = gc.model.input_shapes()
+    arrays = [np.asarray(x, np.float64).reshape(s)
+              for x, s in zip(inp["input_data"], shapes)]
+    st = gc.gen_settings(arrays)
+    w = gc.gen_witness(arrays)
+    got = np.concatenate([np.asarray(o, np.float64).reshape(-1)
+                          for o in w["pretty_elements"]["rescaled_outputs"]])
+    err = None
+    if "output_data" in inp:
+        want = np.concatenate([np.asarray(o, np.float64).reshape(-1)
+                               for o in inp["output_data"]])
+        if want.size == got.size:
+            denom = np.maximum(np.abs(want), 1.0)
+            err = float(np.mean(np.abs(got - want) / denom))
+    mock_ok = None
+    if check_mock:
+        mock_ok = not gc.mock_prove(arrays)
+    return dict(rows=st.num_rows, k=st.run_args.logrows, err=err, mock=mock_ok)
+
+
+def main():
+    models = [a for a in sys.argv[1:] if not a.startswith("-")] or DEFAULT_MODELS
+    results = {}
+    for name in models:
+        try:
+            r = run_one(name, check_mock="--no-mock" not in sys.argv)
+            tag = "OK " if (r["err"] is None or r["err"] < 0.05) and r["mock"] in (True, None) else "WARN"
+            print(f"{tag} {name:28s} rows={r['rows']:<7d} k={r['k']:<3d} "
+                  f"err={r['err'] if r['err'] is None else round(r['err'], 5)} mock={r['mock']}",
+                  flush=True)
+            results[name] = r
+        except Exception as e:
+            print(f"FAIL {name:28s} {type(e).__name__}: {e}", flush=True)
+            if "-v" in sys.argv:
+                traceback.print_exc()
+            results[name] = dict(error=str(e))
+    ok = sum(1 for r in results.values() if "error" not in r)
+    print(f"\n{ok}/{len(results)} models ran")
+
+
+if __name__ == "__main__":
+    main()
