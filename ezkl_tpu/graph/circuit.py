@@ -83,11 +83,33 @@ class GraphCircuit:
     # -- layout/witness -----------------------------------------------------
 
     def _run_layout(self, input_arrays, k: int):
+        from .modules import get_poseidon
+
         cfg = BaseConfig()
         ctx = LayoutCtx(cfg, k)
+        ra = self.run_args
+        # hashed-visibility instances come FIRST (reference instance order:
+        # module hashes -> inputs -> outputs, `graph/mod.rs:1411`)
+        pre_instances: list[int] = []
+        hash_jobs = []
+
         outputs = self.model.layout(ctx, input_arrays)
-        # public outputs -> instance copies
-        if self.run_args.output_visibility == "public":
+
+        if ra.input_visibility == "hashed":
+            mod = get_poseidon(cfg)
+            for tv in self._input_tvals(ctx):
+                hv, span = mod.hash(ctx, tv)
+                base = len(ctx.instance_vals)
+                ctx.instance_vals.append(hv)
+                ctx.copy_rows(cfg.instance, [base], span.col, span.rows)
+        if ra.output_visibility == "hashed":
+            mod = get_poseidon(cfg)
+            for tv in outputs:
+                hv, span = mod.hash(ctx, tv)
+                base = len(ctx.instance_vals)
+                ctx.instance_vals.append(hv)
+                ctx.copy_rows(cfg.instance, [base], span.col, span.rows)
+        elif ra.output_visibility == "public":
             for tv in outputs:
                 flat = tv.ints.reshape(-1)
                 base = len(ctx.instance_vals)
@@ -96,6 +118,9 @@ class GraphCircuit:
                 ctx.copy_rows(cfg.instance, inst_rows, tv.span.col,
                               tv.span.rows)
         return cfg, ctx, outputs
+
+    def _input_tvals(self, ctx):
+        return getattr(ctx, "_input_tvals", [])
 
     def gen_settings(self, sample_inputs=None, logrows: int | None = None) -> GraphSettings:
         """Build settings by a sizing layout pass (the reference's dummy

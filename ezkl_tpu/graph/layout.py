@@ -123,6 +123,9 @@ class LayoutCtx:
         self.usable = self.n - 1
         self.row = 0
         self._cols: dict[tuple, np.ndarray] = {}
+        # full-field values that don't fit int64 (e.g. Poseidon states):
+        # {(kind, idx): {row: int}} patched over the int64 arrays at finalize
+        self._overlay: dict[tuple, dict[int, int]] = {}
         self.copies: list = []
         self.instance_vals: list[int] = []
 
@@ -146,6 +149,13 @@ class LayoutCtx:
     def write(self, col, row0: int, values: np.ndarray):
         v = check_range(np.asarray(values, np.int64).reshape(-1))
         self._arr(col)[row0:row0 + v.size] = v
+
+    def write_field(self, col, row0: int, values: list[int]):
+        """Write arbitrary field elements (Python ints) — overlay cells."""
+        self._arr(col)  # ensure column exists
+        ov = self._overlay.setdefault((col.kind, col.index), {})
+        for i, v in enumerate(values):
+            ov[row0 + i] = int(v)
 
     def enable(self, gate: str, row0: int, size: int):
         self._arr(self.cfg.sel[gate])[row0:row0 + size] = 1
@@ -220,6 +230,10 @@ class LayoutCtx:
         for (kind, idx), arr in self._cols.items():
             col = csmod.Column(kind, idx)
             asg.set_i64(col, 0, arr)
+        for (kind, idx), cells in self._overlay.items():
+            col = csmod.Column(kind, idx)
+            rows = sorted(cells)
+            asg.set_ints_at(col, rows, [cells[r] for r in rows])
         asg.set_instance(self.cfg.instance, self.instance_vals)
         asg.copies = self.copies
         return asg

@@ -55,11 +55,13 @@ class Model:
         values: dict[str, TVal] = {}
 
         # graph inputs: quantize + place in advice
+        ctx._input_tvals = []
         for ti, arr in zip(g.inputs, input_arrays):
             q = quantize(arr, ra.input_scale)
             tv = TVal(q, ra.input_scale, None)
             ctx.materialize(tv, col=ctx.cfg.a0)
             values[ti.name] = tv
+            ctx._input_tvals.append(tv)
 
         # initializers: params, quantized at param_scale, lazily placed
         for name, arr in g.initializers.items():

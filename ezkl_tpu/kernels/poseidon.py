@@ -139,6 +139,30 @@ def host_permute(state: list[int], p: int | None = None) -> list[int]:
     return s
 
 
+def host_permute_trace(state: list[int], p: int | None = None) -> list[list[int]]:
+    """All 65 states (initial + after each round) — for in-circuit layout."""
+    p = p or bn254_fr().modulus
+    rc, mds = generate_parameters(p)
+    t = len(state)
+    half = FULL_ROUNDS // 2
+    s = list(state)
+    trace = [list(s)]
+
+    def rnd(s, i, partial):
+        s = [(x + rc[i][j]) % p for j, x in enumerate(s)]
+        s = [pow(s[0], 5, p)] + ([pow(x, 5, p) for x in s[1:]] if not partial else s[1:])
+        return [sum(mds[a][b] * s[b] for b in range(t)) % p for a in range(t)]
+
+    i = 0
+    for _ in range(half):
+        s = rnd(s, i, False); trace.append(list(s)); i += 1
+    for _ in range(PARTIAL_ROUNDS):
+        s = rnd(s, i, True); trace.append(list(s)); i += 1
+    for _ in range(half):
+        s = rnd(s, i, False); trace.append(list(s)); i += 1
+    return trace
+
+
 def host_hash(inputs: list[int], p: int | None = None) -> int:
     """Sponge with rate=1, width=2, ConstantLength<L> domain (halo2_gadgets):
     initial capacity = 2^64 * L ... see test for cross-check."""

@@ -70,6 +70,11 @@ class Assignment:
         arr = limbs.encode_i64(FR, values)
         self._store(col)[col.index][:, row0:row0 + arr.shape[-1]] = arr
 
+    def set_ints_at(self, col: Column, rows: list[int], values):
+        """Assign Python ints at scattered rows."""
+        arr = limbs.encode(FR, [v % FR.modulus for v in values], mont=False)
+        self._store(col)[col.index][:, rows] = arr
+
     def set_instance(self, col: Column, values):
         assert col.kind == INSTANCE
         self.instance[col.index] = [int(v) % FR.modulus for v in values]
