@@ -17,6 +17,33 @@ import time
 import numpy as np
 
 
+def bench_ntt():
+    import jax
+    import jax.numpy as jnp
+    from ezkl_tpu.fieldmath.spec import bn254_fr
+    from ezkl_tpu.kernels import ntt as nttmod
+
+    fr = bn254_fr()
+    k = int(os.environ.get("BENCH_K", "18"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
+    rng = np.random.default_rng(3)
+    v = rng.integers(0, 1 << 16, size=(16, 1 << k), dtype=np.uint64).astype(np.uint32)
+    v[15] &= 0x03FF
+    dev = jnp.asarray(v)
+    out = jax.block_until_ready(nttmod.ntt_jit(fr, dev))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = nttmod.ntt_jit(fr, dev)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    print(json.dumps({
+        "metric": f"ntt_fr_2p{k}_per_s",
+        "value": round(1.0 / dt, 3),
+        "unit": "transforms/s",
+        "vs_baseline": round((1.0 / dt) / 10.0, 4),  # anchor: 10 NTT/s @2^18
+    }))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -25,9 +52,13 @@ def main():
     from ezkl_tpu.fieldmath.spec import bn254_fr
     from ezkl_tpu.kernels import msm as msmmod
 
+    if os.environ.get("BENCH_KIND") == "ntt":
+        return bench_ntt()
+
     fr = bn254_fr()
     n = int(os.environ.get("BENCH_N", str(1 << 14)))
     c = int(os.environ.get("BENCH_C", "0")) or None
+    group = int(os.environ.get("BENCH_GROUP", "0")) or None
     iters = int(os.environ.get("BENCH_ITERS", "3"))
 
     rng = np.random.default_rng(7)
@@ -51,10 +82,10 @@ def main():
     sc[15] &= 0x03FF
     scalars = jnp.asarray(sc)
 
-    out = jax.block_until_ready(msmmod.msm_jit(points, scalars, c=c))  # compile
+    out = jax.block_until_ready(msmmod.msm_jit(points, scalars, c=c, group=group))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = msmmod.msm_jit(points, scalars, c=c)
+        out = msmmod.msm_jit(points, scalars, c=c, group=group)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / iters
 

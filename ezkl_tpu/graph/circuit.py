@@ -102,6 +102,14 @@ class GraphCircuit:
                 base = len(ctx.instance_vals)
                 ctx.instance_vals.append(hv)
                 ctx.copy_rows(cfg.instance, [base], span.col, span.rows)
+        elif ra.input_visibility == "public":
+            for tv in self._input_tvals(ctx):
+                flat = tv.ints.reshape(-1)
+                base = len(ctx.instance_vals)
+                ctx.instance_vals.extend(_felt_from_i64(int(x)) for x in flat)
+                ctx.copy_rows(cfg.instance,
+                              np.arange(base, base + flat.size),
+                              tv.span.col, tv.span.rows)
         if ra.output_visibility == "hashed":
             mod = get_poseidon(cfg)
             for tv in outputs:
@@ -177,10 +185,17 @@ class GraphCircuit:
 
     # -- proving pipeline ---------------------------------------------------
 
+    MOCK_CHALLENGE = 0x1CEB00DA % FR_MODULUS
+
     def mock_prove(self, input_arrays) -> list:
         cfg, ctx, _ = self.forward(input_arrays)
         asg = ctx.finalize()
-        return mock.verify(asg)
+        challenges = None
+        if asg.phase_callback is not None:
+            challenges = {i: pow(self.MOCK_CHALLENGE, i + 1, FR_MODULUS)
+                          for i in range(cfg.cs.num_challenges)}
+            asg.apply_phase1(challenges)
+        return mock.verify(asg, challenges)
 
     def setup(self, input_arrays, srs: srsmod.SRS):
         """keygen from a layout pass (fixed cols + copies define the vk)."""

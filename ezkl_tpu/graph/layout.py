@@ -236,4 +236,7 @@ class LayoutCtx:
             asg.set_ints_at(col, rows, [cells[r] for r in rows])
         asg.set_instance(self.cfg.instance, self.instance_vals)
         asg.copies = self.copies
+        fre = getattr(self.cfg, "_freivalds", None)
+        if fre is not None:
+            asg.phase_callback = fre.make_callback(self.n)
         return asg

@@ -107,7 +107,7 @@ class Model:
                 if op == "Gemm" and node.attrs.get("transB"):
                     b = TVal(np.ascontiguousarray(b.ints.T), b.scale, None) \
                         if b.span is None else _transposed(ctx, b)
-                out = ops.matmul(ctx, a, b)
+                out = self._matmul(ctx, a, b)
                 if op == "Gemm" and len(ins) > 2:
                     bias = ins[2]
                     if bias.span is None and bias.scale != out.scale:
@@ -235,6 +235,26 @@ class Model:
                                   ins[1] if len(ins) > 1 else None)
             elif op == "BatchNormalization":
                 out = rebase(self._batchnorm(ctx, node, ins, align))
+            elif op in ("Floor", "Ceil", "Round"):
+                fn = {"Floor": np.floor, "Ceil": np.ceil,
+                      "Round": np.rint}[op]
+                out = ops.lookup_fn(ctx, op.lower(), ins[0], fn,
+                                    ins[0].scale, ins[0].scale, ra.lookup_range)
+            elif op == "Sign":
+                out = ops.lookup_fn(ctx, "sign", ins[0], np.sign,
+                                    ins[0].scale, 0, ra.lookup_range)
+            elif op == "Abs":
+                out = ops.lookup_fn(ctx, "abs", ins[0], np.abs,
+                                    ins[0].scale, ins[0].scale, ra.lookup_range)
+            elif op in ("Max", "Min") and len(ins) == 2:
+                a, b = align(ins[0], ins[1])
+                if op == "Max":
+                    out = ops.pairwise_max(ctx, a, b, ra.lookup_range)
+                else:
+                    # min(a,b) = a - relu(a-b)
+                    diff = ops.pairwise(ctx, "sub", a, b)
+                    r = ops.relu(ctx, diff, ra.lookup_range)
+                    out = ops.pairwise(ctx, "sub", a, r)
             elif op == "Gather":
                 data, indices = ins[0], ins[1]
                 if indices.span is not None:
@@ -276,6 +296,27 @@ class Model:
 
     # -- op helpers ---------------------------------------------------------
 
+    def _matmul(self, ctx, a: TVal, b: TVal) -> TVal:
+        """Route matmul to Freivalds (phase-2 RLC) or base-op dots —
+        the reference's strategy choice (`chip/einsum/analysis.rs:170-198`)."""
+        from .modules import get_freivalds
+        from ezkl_tpu.graph.quantize import check_range
+
+        use_fre = False
+        if (not self.run_args.disable_freivalds
+                and a.ints.ndim == 2 and b.ints.ndim == 2):
+            M, K = a.ints.shape
+            N = b.ints.shape[1]
+            base_rows = M * N * K
+            fre_rows = K * N + M * N + M * K
+            use_fre = base_rows > 2 * fre_rows and base_rows > 512
+        if not use_fre:
+            return ops.matmul(ctx, a, b)
+        mod = get_freivalds(ctx.cfg)
+        out_ints = check_range(a.ints @ b.ints)
+        span = mod.matmul(ctx, a, b, out_ints)
+        return TVal(out_ints, a.scale + b.scale, span)
+
     def _conv(self, ctx, node, ins, rebase):
         ra = self.run_args
         x, w = ins[0], ins[1]
@@ -290,7 +331,8 @@ class Model:
         if bias is not None and bias.span is None:
             orig = bias.ints.astype(np.float64) / (1 << bias.scale)
             bias = TVal(quantize(orig, x.scale + w.scale), x.scale + w.scale, None)
-        out = ops.conv2d(ctx, x, w, bias, strides, padding, ra.lookup_range)
+        out = ops.conv2d(ctx, x, w, bias, strides, padding, ra.lookup_range,
+                         matmul_fn=self._matmul)
         return rebase(out)
 
     def _pool(self, ctx, node, ins, rebase):

@@ -129,3 +129,178 @@ def get_poseidon(cfg: BaseConfig) -> PoseidonModule:
         mod = PoseidonModule(cfg)
         cfg._poseidon = mod
     return mod
+
+
+class FreivaldsModule:
+    """Phase-2 einsum/matmul argument (the reference's universal einsum
+    Freivalds config, `/root/reference/src/circuit/ops/chip/einsum/` —
+    SURVEY.md §2.2): instead of M*N*K dot rows, verify C = A*B by checking
+    A*(B*r) == C*r with r = powers of a post-commitment challenge.
+
+    Columns: f_v (phase-0 staging of B/C values), cp/acc/f_u/acc2 (phase-1:
+    challenge powers, RLC accumulators, staged u values, final dot accs).
+    Row cost: K*N + M*N + M*K per matmul instead of M*N*K.
+    """
+
+    def __init__(self, cfg: BaseConfig):
+        cs = cfg.cs
+        self.cfg = cfg
+        self.ch = cs.challenge()
+        self.f_v = cs.advice_column(phase=0)
+        self.cp = cs.advice_column(phase=1)
+        self.acc = cs.advice_column(phase=1)
+        self.f_u = cs.advice_column(phase=1)
+        self.acc2 = cs.advice_column(phase=1)
+        for col in (self.f_v, self.cp, self.acc, self.f_u, self.acc2):
+            cs.enable_equality(col)
+        sel = {}
+        for name in ("cp_init", "cp_run", "rlc_init", "rlc_run",
+                     "dot2_init", "dot2_run"):
+            sel[name] = cs.fixed_column()
+        self.sel = sel
+        q = {k: cs.query(v) for k, v in sel.items()}
+        vv = cs.query(self.f_v)
+        vcp, vcp_p = cs.query(self.cp), cs.query(self.cp, -1)
+        va, va_p = cs.query(self.acc), cs.query(self.acc, -1)
+        vu = cs.query(self.f_u)
+        v2, v2_p = cs.query(self.acc2), cs.query(self.acc2, -1)
+        one = csmod.Constant(1)
+        cs.create_gate("einsum_cp_init", q["cp_init"] * (vcp - one))
+        cs.create_gate("einsum_cp_run", q["cp_run"] * (vcp - vcp_p * self.ch))
+        cs.create_gate("einsum_rlc_init", q["rlc_init"] * (va - vv * vcp))
+        cs.create_gate("einsum_rlc_run", q["rlc_run"] * (va - va_p - vv * vcp))
+        cs.create_gate("einsum_dot2_init", q["dot2_init"] * (v2 - vv * vu))
+        cs.create_gate("einsum_dot2_run", q["dot2_run"] * (v2 - v2_p - vv * vu))
+        # deferred phase-1 witness jobs: (kind, rows..., values...)
+        self.jobs: list = []
+
+    # -- layout -------------------------------------------------------------
+
+    def _rlc_region(self, ctx: LayoutCtx, vals: np.ndarray, runs: int,
+                    run_len: int, src_span, src_idx: np.ndarray):
+        """Lay `runs` RLC runs of length run_len over vals (staged in f_v,
+        copied from src). Returns the rows of the final accumulators."""
+        L = runs * run_len
+        r0 = ctx.alloc(L)
+        ctx.write(self.f_v, r0, vals)
+        if src_span is not None:
+            ctx.copy_rows(self.f_v, r0 + np.arange(L), src_span.col,
+                          src_span.rows[src_idx])
+        init_mask = np.zeros(L, bool)
+        init_mask[np.arange(runs) * run_len] = True
+        rows = r0 + np.arange(L)
+        ctx._arr(self.sel["cp_init"])[rows[init_mask]] = 1
+        ctx._arr(self.sel["cp_run"])[rows[~init_mask]] = 1
+        ctx._arr(self.sel["rlc_init"])[rows[init_mask]] = 1
+        ctx._arr(self.sel["rlc_run"])[rows[~init_mask]] = 1
+        self.jobs.append(("rlc", r0, runs, run_len, vals.copy()))
+        return r0 + (np.arange(runs) + 1) * run_len - 1  # final acc rows
+
+    def matmul(self, ctx: LayoutCtx, a, b, out_ints: np.ndarray):
+        """Freivalds check for C=A*B. a,b: TVals (M,K),(K,N); out_ints the
+        precomputed C (int64). Returns rows of C's staged cells (i-major)
+        as the output span in f_v."""
+        from .layout import Span, TVal
+
+        M, K = a.ints.shape
+        K2, N = b.ints.shape
+        cfg = self.cfg
+        ctx.materialize(a)
+        ctx.materialize(b)
+
+        # B-RLC: rows (k, j) -> u_k
+        bidx = (np.arange(K)[:, None] * N + np.arange(N)[None, :]).reshape(-1)
+        u_rows = self._rlc_region(ctx, b.ints.reshape(-1)[
+            np.arange(K * N)], K, N, b.span, bidx)
+
+        # C staged + C-RLC: rows (i, j) -> v_i   (C's home cells = f_v here)
+        c_flat = out_ints.reshape(-1)
+        c_r0 = ctx.alloc(M * N)
+        ctx.write(self.f_v, c_r0, c_flat)
+        L = M * N
+        rows = c_r0 + np.arange(L)
+        init_mask = np.zeros(L, bool)
+        init_mask[np.arange(M) * N] = True
+        for s_init, s_run in (("cp_init", "cp_run"), ("rlc_init", "rlc_run")):
+            ctx._arr(self.sel[s_init])[rows[init_mask]] = 1
+            ctx._arr(self.sel[s_run])[rows[~init_mask]] = 1
+        self.jobs.append(("rlc", c_r0, M, N, c_flat.copy()))
+        v_rows = c_r0 + (np.arange(M) + 1) * N - 1
+
+        # final dots: rows (i, k): f_v = A[i,k], f_u = u_k, acc2 runs
+        d_r0 = ctx.alloc(M * K)
+        a_flat_idx = (np.arange(M)[:, None] * K + np.arange(K)[None, :]).reshape(-1)
+        ctx.write(self.f_v, d_r0, a.ints.reshape(-1)[a_flat_idx])
+        ctx.copy_rows(self.f_v, d_r0 + np.arange(M * K), a.span.col,
+                      a.span.rows[a_flat_idx])
+        # u values copied into f_u (phase-1 values; filled by callback)
+        u_idx = np.tile(np.arange(K), M)
+        ctx.copy_rows(self.f_u, d_r0 + np.arange(M * K), self.acc,
+                      u_rows[u_idx])
+        rows = d_r0 + np.arange(M * K)
+        init_mask = np.zeros(M * K, bool)
+        init_mask[np.arange(M) * K] = True
+        ctx._arr(self.sel["dot2_init"])[rows[init_mask]] = 1
+        ctx._arr(self.sel["dot2_run"])[rows[~init_mask]] = 1
+        self.jobs.append(("dot2", d_r0, M, K,
+                          a.ints.reshape(-1)[a_flat_idx].copy(), u_rows.copy()))
+        dot_final = d_r0 + (np.arange(M) + 1) * K - 1
+        # equality: acc2 final == v_i
+        ctx.copy_rows(self.acc2, dot_final, self.acc, v_rows)
+
+        return Span(self.f_v, c_r0 + np.arange(M * N))
+
+    # -- phase-1 witness ----------------------------------------------------
+
+    def make_callback(self, n: int):
+        jobs = self.jobs
+        ch_index = self.ch.index
+        cols = dict(cp=self.cp.index, acc=self.acc.index,
+                    f_u=self.f_u.index, acc2=self.acc2.index)
+
+        def callback(challenges: dict[int, int]) -> dict:
+            c = challenges[ch_index] % P
+            cp_col = np.zeros(n, object)
+            acc_col = np.zeros(n, object)
+            fu_col = np.zeros(n, object)
+            acc2_col = np.zeros(n, object)
+            u_cache: dict[int, int] = {}   # acc row -> value
+            for job in jobs:
+                if job[0] == "rlc":
+                    _, r0, runs, rl, vals = job
+                    cps = np.array([pow(c, j, P) for j in range(rl)], object)
+                    for t in range(runs):
+                        seg = vals[t * rl:(t + 1) * rl]
+                        terms = (np.array([int(x) % P for x in seg], object)
+                                 * cps) % P
+                        accs = np.add.accumulate(terms) % P
+                        rows = slice(r0 + t * rl, r0 + (t + 1) * rl)
+                        cp_col[rows] = cps
+                        acc_col[rows] = accs
+                        u_cache[r0 + (t + 1) * rl - 1] = int(accs[-1])
+            for job in jobs:
+                if job[0] == "dot2":
+                    _, r0, M, K, a_vals, u_rows = job
+                    u_vals = np.array([u_cache[int(r)] for r in u_rows], object)
+                    for i in range(M):
+                        seg = a_vals[i * K:(i + 1) * K]
+                        terms = (np.array([int(x) % P for x in seg], object)
+                                 * u_vals) % P
+                        accs = np.add.accumulate(terms) % P
+                        rows = slice(r0 + i * K, r0 + (i + 1) * K)
+                        fu_col[rows] = u_vals
+                        acc2_col[rows] = accs
+            return {cols["cp"]: cp_col.tolist(),
+                    cols["acc"]: acc_col.tolist(),
+                    cols["f_u"]: fu_col.tolist(),
+                    cols["acc2"]: acc2_col.tolist()}
+
+        return callback
+
+
+def get_freivalds(cfg: BaseConfig) -> FreivaldsModule:
+    mod = getattr(cfg, "_freivalds", None)
+    if mod is None:
+        mod = FreivaldsModule(cfg)
+        cfg._freivalds = mod
+    return mod

@@ -338,8 +338,10 @@ def einsum(ctx: LayoutCtx, equation: str, a: TVal, b: TVal | None = None) -> TVa
 # ---------------------------------------------------------------------------
 
 def conv2d(ctx: LayoutCtx, x: TVal, w: TVal, bias: TVal | None,
-           strides=(1, 1), padding=(0, 0, 0, 0), lookup_range=None) -> TVal:
-    """NCHW conv via padding + im2col reindex + einsum dot runs."""
+           strides=(1, 1), padding=(0, 0, 0, 0), lookup_range=None,
+           matmul_fn=None) -> TVal:
+    """NCHW conv via padding + im2col reindex + one big matmul (which the
+    model layer may route through the Freivalds phase-2 argument)."""
     N, C, H, W_ = x.shape
     O, Ci, KH, KW = w.shape
     assert Ci == C, f"conv channels {Ci} != {C}"
@@ -350,14 +352,22 @@ def conv2d(ctx: LayoutCtx, x: TVal, w: TVal, bias: TVal | None,
     sh, sw = strides
     OH = (Hp - KH) // sh + 1
     OW = (Wp - KW) // sw + 1
-    # im2col as a pure reindex: patches (N, OH, OW, C, KH, KW)
+    # im2col as a pure reindex: patches (N*OH*OW, C*KH*KW)
     n_i, oh, ow, c_i, kh, kw = np.meshgrid(
         np.arange(N), np.arange(OH), np.arange(OW), np.arange(C),
         np.arange(KH), np.arange(KW), indexing="ij")
     src = ((n_i * C + c_i) * Hp + (oh * sh + kh)) * Wp + (ow * sw + kw)
-    patches = reindex(x, src.reshape(-1), (N, OH, OW, C * KH * KW))
-    wmat = TVal(w.ints.reshape(O, C * KH * KW), w.scale, w.span)
-    out = einsum(ctx, "nhwk,ok->nohw", patches, wmat)
+    patches = reindex(x, src.reshape(-1), (N * OH * OW, C * KH * KW))
+    # weights as (C*KH*KW, O): transposed reindex of the placed tensor
+    wm = w.ints.reshape(O, C * KH * KW)
+    wt_idx = np.arange(wm.size).reshape(wm.shape).T.reshape(-1)
+    wmat = reindex(TVal(wm, w.scale, w.span), wt_idx, (C * KH * KW, O))
+    mm = matmul_fn or matmul
+    out2d = mm(ctx, patches, wmat)                    # (N*OH*OW, O)
+    # (N, OH, OW, O) -> (N, O, OH, OW)
+    perm_idx = np.arange(out2d.ints.size).reshape(
+        (N, OH, OW, O)).transpose(0, 3, 1, 2).reshape(-1)
+    out = reindex(out2d, perm_idx, (N, O, OH, OW))
     if bias is not None:
         bb = TVal(bias.ints.reshape(1, O, 1, 1), bias.scale, bias.span)
         out = pairwise(ctx, "add", out, bb)

@@ -26,6 +26,7 @@ class RunArgs:
     decomp_base: int = 16384
     decomp_legs: int = 2
     tolerance: float = 0.0
+    disable_freivalds: bool = False
 
     def validate(self):
         if self.param_visibility == "public":

@@ -38,6 +38,9 @@ class Assignment:
     advice: np.ndarray           # (num_advice, 16, n) raw limbs
     instance: list[list[int]]    # host ints per instance column
     copies: list[tuple]          # ((col, row), (col, row))
+    # phase-1 witness callback: challenges {idx: int} ->
+    #   {advice_col_index: list[int] field values (length n)}
+    phase_callback: object = None
 
     @classmethod
     def empty(cls, cs: ConstraintSystem, k: int) -> "Assignment":
@@ -74,6 +77,14 @@ class Assignment:
         """Assign Python ints at scattered rows."""
         arr = limbs.encode(FR, [v % FR.modulus for v in values], mont=False)
         self._store(col)[col.index][:, rows] = arr
+
+    def apply_phase1(self, challenges: dict[int, int]):
+        """Fill phase-1 advice columns via the witness callback."""
+        if self.phase_callback is None:
+            return
+        cols = self.phase_callback(challenges)
+        for idx, values in cols.items():
+            self.set_ints(Column(ADVICE, idx), 0, values)
 
     def set_instance(self, col: Column, values):
         assert col.kind == INSTANCE

@@ -408,14 +408,26 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
             tr.common_scalar(v)
 
     _span("phase2: advice commitments")
+    phases = asg.cs.advice_phase
+    p0_cols = [i for i in range(cs.num_advice) if phases[i] == 0]
+    p1_cols = [i for i in range(cs.num_advice) if phases[i] != 0]
+
     advice_l = asg.device_columns(ADVICE)            # (na, 16, n) mont
-    advice_comms = []
-    for i in range(cs.num_advice):
+    advice_comms: dict[int, object] = {}
+    for i in p0_cols:
         c = decode_point_host(kzg.commit_lagrange(srs, advice_l[i]))
-        advice_comms.append(c)
+        advice_comms[i] = c
         tr.common_point(c)
     challenges = [tr.challenge() for _ in range(cs.num_challenges)]
     ch_dev = [limbs.const(FR, v) for v in challenges]
+    if p1_cols:
+        asg.apply_phase1({i: v for i, v in enumerate(challenges)})
+        advice_l = asg.device_columns(ADVICE)        # refresh with phase-1
+        for i in p1_cols:
+            c = decode_point_host(kzg.commit_lagrange(srs, advice_l[i]))
+            advice_comms[i] = c
+            tr.common_point(c)
+    advice_comms = [advice_comms[i] for i in range(cs.num_advice)]
 
     fixed_l = pk.fixed_lagrange
     instance_l = asg.instance_device()

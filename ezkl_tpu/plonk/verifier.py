@@ -60,9 +60,14 @@ def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
     for col in proof.instances:
         for v in col:
             tr.common_scalar(v)
-    for c in proof.advice_commitments:
-        tr.common_point(c)
+    phases = cs.advice_phase
+    for i, c in enumerate(proof.advice_commitments):
+        if phases[i] == 0:
+            tr.common_point(c)
     challenges = {i: tr.challenge() for i in range(cs.num_challenges)}
+    for i, c in enumerate(proof.advice_commitments):
+        if phases[i] != 0:
+            tr.common_point(c)
     theta = tr.challenge()
     for c in proof.lookup_m_commitments:
         tr.common_point(c)
