@@ -221,6 +221,47 @@ def gen_random_data(model_path, output="input.json", seed=0):
     return data
 
 
+def gen_vk_from_pk(pk_path="pk.key", vk_path="vk.key"):
+    """Extract the verifying key from a proving key (reference
+    `gen_vk_from_pk_single`, bindings/python.rs:629)."""
+    pk = pickle.loads(pathlib.Path(pk_path).read_bytes())
+    pathlib.Path(vk_path).write_bytes(pickle.dumps(pk.vk))
+    return vk_path
+
+
+def encode_evm_calldata(proof_path="proof.json", output="calldata.bin") -> bytes:
+    """Canonical byte encoding of (proof, instances) — the shape the future
+    EVM verifier consumes (reference `encode_calldata`, pfsys/mod.rs:70):
+    all commitments as 32B||32B big-endian affine pairs in transcript
+    order, then evals, then instances."""
+    proof = Proof.from_json(pathlib.Path(proof_path).read_text())
+    out = bytearray()
+
+    def pt(p):
+        if p is None:
+            out.extend(b"\x00" * 64)
+        else:
+            out.extend(int(p[0]).to_bytes(32, "big"))
+            out.extend(int(p[1]).to_bytes(32, "big"))
+
+    for group in (proof.advice_commitments, proof.lookup_m_commitments,
+                  proof.perm_z_commitments, proof.lookup_phi_commitments,
+                  proof.h_commitments):
+        for p in group:
+            pt(p)
+    for label in sorted(proof.evals):
+        out.extend(int(proof.evals[label]).to_bytes(32, "big"))
+    for p in proof.opening_commitments:
+        pt(p)
+    for col in proof.instances:
+        for v in col:
+            out.extend(int(v).to_bytes(32, "big"))
+    data = bytes(out)
+    if output:
+        pathlib.Path(output).write_bytes(data)
+    return data
+
+
 def poseidon_hash(values: list[int]) -> int:
     """Native Poseidon hash of field elements (reference
     `bindings/python.rs:510`)."""

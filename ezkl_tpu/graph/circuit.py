@@ -88,12 +88,9 @@ class GraphCircuit:
         cfg = BaseConfig()
         ctx = LayoutCtx(cfg, k)
         ra = self.run_args
-        # hashed-visibility instances come FIRST (reference instance order:
-        # module hashes -> inputs -> outputs, `graph/mod.rs:1411`)
-        pre_instances: list[int] = []
-        hash_jobs = []
-
         outputs = self.model.layout(ctx, input_arrays)
+        # instance order follows the reference: module hashes -> inputs ->
+        # outputs (`graph/mod.rs:1411`)
 
         if ra.input_visibility == "hashed":
             mod = get_poseidon(cfg)

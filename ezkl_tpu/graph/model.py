@@ -148,6 +148,32 @@ class Model:
                 out = _softmax(ctx, ins[0], ra, axis)
             elif op == "Conv":
                 out = self._conv(ctx, node, ins, rebase)
+            elif op == "ConvTranspose":
+                x, w = ins[0], ins[1]
+                bias = ins[2] if len(ins) > 2 else None
+                if bias is not None and bias.span is None:
+                    orig = bias.ints.astype(np.float64) / (1 << bias.scale)
+                    bias = TVal(quantize(orig, x.scale + w.scale),
+                                x.scale + w.scale, None)
+                strides = tuple(node.attrs.get("strides", [1, 1]))
+                p = node.attrs.get("pads", [0, 0, 0, 0])
+                opad = tuple(node.attrs.get("output_padding", [0, 0]))
+                out = rebase(ops.deconv2d(
+                    ctx, x, w, bias, strides, (p[0], p[1], p[2], p[3]), opad,
+                    matmul_fn=self._matmul))
+            elif op in ("Resize", "Upsample"):
+                src = ins[0]
+                if len(ins) > 2 and ins[2].ints.size:      # Resize: scales in
+                    scales = ins[2].ints.astype(np.float64)
+                    if ins[2].scale:
+                        scales = scales / (1 << ins[2].scale)
+                elif len(ins) > 1 and ins[1].ints.size:
+                    scales = ins[1].ints.astype(np.float64)
+                    if ins[1].scale:
+                        scales = scales / (1 << ins[1].scale)
+                else:
+                    scales = np.asarray(node.attrs.get("scales", [1.0] * src.ints.ndim))
+                out = ops.resize_nearest(ctx, src, scales.reshape(-1).tolist())
             elif op in ("MaxPool", "AveragePool", "GlobalAveragePool"):
                 out = self._pool(ctx, node, ins, rebase)
             elif op == "Concat":
@@ -193,7 +219,9 @@ class Model:
                     lambda x: np.where(x > 0, x, alpha * x),
                     ins[0].scale, ins[0].scale, ra.lookup_range)
             elif op in ("Sqrt", "Erf", "Ln", "Log", "Cos", "Sin", "Rsqrt",
-                        "Reciprocal", "HardSwish"):
+                        "Reciprocal", "HardSwish", "Elu", "Celu", "Gelu",
+                        "Softplus", "Softsign", "HardSigmoid", "Selu", "Mish"):
+                alpha = node.attrs.get("alpha", 1.0)
                 fn = {
                     "Sqrt": lambda x: np.sqrt(np.maximum(x, 0)),
                     "Rsqrt": lambda x: np.where(x > 0, 1.0 / np.sqrt(np.abs(x) + 1e-12), 0.0),
@@ -202,9 +230,33 @@ class Model:
                     "Cos": np.cos, "Sin": np.sin,
                     "Reciprocal": lambda x: np.where(x == 0, 0.0, 1.0 / x),
                     "HardSwish": lambda x: x * np.clip(x / 6 + 0.5, 0, 1),
+                    "Elu": lambda x: np.where(x > 0, x, alpha * (np.exp(x) - 1)),
+                    "Celu": lambda x: np.maximum(x, 0) + np.minimum(
+                        0, alpha * (np.exp(x / alpha) - 1)),
+                    "Gelu": lambda x: 0.5 * x * (1 + _erf(x / np.sqrt(2))),
+                    "Softplus": lambda x: np.log1p(np.exp(-np.abs(x))) + np.maximum(x, 0),
+                    "Softsign": lambda x: x / (1 + np.abs(x)),
+                    "HardSigmoid": lambda x: np.clip(
+                        node.attrs.get("alpha", 0.2) * x + node.attrs.get("beta", 0.5), 0, 1),
+                    "Selu": lambda x: 1.0507 * np.where(x > 0, x, 1.67326 * (np.exp(x) - 1)),
+                    "Mish": lambda x: x * np.tanh(np.log1p(np.exp(-np.abs(x)) ) + np.maximum(x, 0)),
                 }[op]
                 out = ops.lookup_fn(ctx, op.lower(), ins[0], fn,
                                     ins[0].scale, ra.input_scale, ra.lookup_range)
+            elif op == "PRelu":
+                # prelu(x) = relu(x) - alpha * relu(-x), per-channel alpha
+                x, alpha = ins[0], ins[1]
+                pos = ops.relu(ctx, x, ra.lookup_range)
+                neg1 = TVal(np.full(1, -1, np.int64), 0, None)
+                negx = ops.pairwise(ctx, "mul", x, neg1)
+                negpart = ops.relu(ctx, negx, ra.lookup_range)
+                a_shaped = TVal(alpha.ints.reshape(
+                    (1, -1) + (1,) * (x.ints.ndim - 2)) if alpha.ints.size > 1
+                    else alpha.ints, alpha.scale, alpha.span)
+                scaled = ops.pairwise(ctx, "mul", negpart, a_shaped)
+                scaled = rebase(scaled)
+                a2, b2 = align(pos, scaled)
+                out = ops.pairwise(ctx, "sub", a2, b2)
             elif op == "Pow":
                 expo = ins[1].ints.reshape(-1)
                 e = float(expo[0]) / (1 << ins[1].scale) if ins[1].scale else float(expo[0])

@@ -252,10 +252,6 @@ def concat(ctx: LayoutCtx, tvs: list[TVal], axis: int) -> TVal:
     col = tvs[0].span.col
     out_ints = np.concatenate([tv.ints for tv in tvs], axis=axis)
     # rows follow the same concatenation order
-    idx_parts = []
-    offset = 0
-    sizes = [tv.ints.size for tv in tvs]
-    # build row array by concatenating index grids along axis
     row_grids = [tv.span.rows.reshape(tv.shape) for tv in tvs]
     rows = np.concatenate(row_grids, axis=axis).reshape(-1)
     return TVal(out_ints, tvs[0].scale, Span(col, rows))
@@ -419,6 +415,64 @@ def pairwise_max(ctx, a: TVal, b: TVal, lookup_range) -> TVal:
     diff = pairwise(ctx, "sub", b, a)
     r = relu(ctx, diff, lookup_range)
     return pairwise(ctx, "add", a, r)
+
+
+def upsample_zeros(ctx: LayoutCtx, x: TVal, stride: tuple) -> TVal:
+    """Insert (stride-1) zeros between spatial pixels of NCHW x (deconv
+    prelude). Zero cells alias one shared zero cell."""
+    N, C, H, W_ = x.shape
+    sh, sw = stride
+    if sh == 1 and sw == 1:
+        return x
+    zero = TVal(np.zeros(1, np.int64), x.scale, None)
+    x = _mat(ctx, x)
+    zspan = ctx.materialize(zero)
+    if id(x.span.col) != id(zspan.col):
+        if id(x.span.col) != id(ctx.cfg.a2):
+            x = identity_move(ctx, x)
+        z2 = identity_move(ctx, TVal(zero.ints, x.scale, zspan))
+        zspan = z2.span
+    OH, OW = (H - 1) * sh + 1, (W_ - 1) * sw + 1
+    rows = np.full((N, C, OH, OW), zspan.rows[0], np.int64)
+    ints = np.zeros((N, C, OH, OW), np.int64)
+    grid = x.span.rows.reshape(x.shape)
+    rows[:, :, ::sh, ::sw] = grid
+    ints[:, :, ::sh, ::sw] = x.ints
+    return TVal(ints, x.scale, Span(x.span.col, rows.reshape(-1)))
+
+
+def deconv2d(ctx: LayoutCtx, x: TVal, w: TVal, bias, strides, padding,
+             output_padding=(0, 0), matmul_fn=None) -> TVal:
+    """ConvTranspose via zero-upsampling + conv with the flipped kernel
+    (reference `layouts.rs:4297`). w: (C_in, O, KH, KW) per ONNX."""
+    C, O, KH, KW = w.shape
+    up = upsample_zeros(ctx, x, strides)
+    # flip spatial dims + swap in/out channels -> (O, C, KH, KW)
+    wf = np.flip(w.ints, axis=(2, 3)).transpose(1, 0, 2, 3)
+    if w.span is not None:
+        idx = np.flip(np.arange(w.ints.size).reshape(w.shape),
+                      axis=(2, 3)).transpose(1, 0, 2, 3).reshape(-1)
+        wt = TVal(np.ascontiguousarray(wf), w.scale,
+                  Span(w.span.col, w.span.rows[idx]))
+    else:
+        wt = TVal(np.ascontiguousarray(wf), w.scale, None)
+    pt, pl, pb, pr = padding
+    opad_h, opad_w = output_padding
+    pad2 = (KH - 1 - pt, KW - 1 - pl, KH - 1 - pb + opad_h, KW - 1 - pr + opad_w)
+    return conv2d(ctx, up, wt, bias, (1, 1), pad2, matmul_fn=matmul_fn)
+
+
+def resize_nearest(ctx: LayoutCtx, x: TVal, scales) -> TVal:
+    """Nearest-neighbor upsample: pure reindex."""
+    idx_grids = np.meshgrid(
+        *[np.minimum((np.arange(int(round(s * d))) / s).astype(np.int64), d - 1)
+          for d, s in zip(x.shape, scales)], indexing="ij")
+    flat = np.zeros(idx_grids[0].shape, np.int64)
+    stride = 1
+    for g, d in zip(reversed(idx_grids), reversed(x.shape)):
+        flat = flat + g * stride
+        stride *= d
+    return reindex(x, flat.reshape(-1), idx_grids[0].shape)
 
 
 # ---------------------------------------------------------------------------

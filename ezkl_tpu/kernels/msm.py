@@ -49,10 +49,11 @@ def default_window_bits(n: int) -> int:
 
 
 def default_group(n: int, c: int) -> int:
-    """Windows per batch group: bounded by ~2^26 staged elements."""
-    W = -(-256 // c)
-    budget = max(1, (1 << 26) // max(n, 1 << 10))
-    return max(1, min(W, budget))
+    """Windows per batch group. Measured on TPU v5e: window batching does
+    NOT pay (the kernel is VPU-compute-bound, and grouped gathers add
+    traffic), so the default is sequential windows; grouping stays
+    available for latency-bound (small-N) cases via the `group` param."""
+    return 1
 
 
 def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
@@ -192,19 +193,20 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
     f_w = jax.tree.map(
         lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, -1), f_groups)
 
-    # U = (2^c - 1) * Total = 2^c*T - T
-    u = total
-    for _ in range(c):
-        u = curve.dbl(u)
-    u = curve.add(u, _neg_point(total))
+    # U = (2^c - 1) * Total = 2^c*T - T  (doublings via scan: 1 dbl body)
+    def dbl_n(p, n_dbl):
+        def body(acc, _):
+            return curve.dbl(acc), None
+        out, _ = jax.lax.scan(body, p, None, length=n_dbl)
+        return out
+
+    u = curve.add(dbl_n(total, c), _neg_point(total))
 
     # Horner MSB-first over V_w = U - F_w  (padded windows have F_w =
     # (B-1)*Total from all-zero digits, so V_w = 0 for them — safe)
     def horner_body(acc, fw):
         v = curve.add(u, _neg_point(fw))
-        for _ in range(c):
-            acc = curve.dbl(acc)
-        return curve.add(acc, v), None
+        return curve.add(dbl_n(acc, c), v), None
 
     rev = jax.tree.map(lambda a: a[..., ::-1], f_w)
     xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), rev)

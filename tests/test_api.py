@@ -1,0 +1,49 @@
+"""File-API pipeline tests (settings -> compile -> witness -> mock) in a
+tempdir — the CLI-parity layer without the expensive prove step."""
+
+import json
+import pathlib
+import shutil
+
+import numpy as np
+import pytest
+
+from ezkl_tpu import api
+from ezkl_tpu.graph.run_args import RunArgs
+
+REF = pathlib.Path("/root/reference/examples/onnx/1l_relu")
+needs_ref = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
+
+
+@needs_ref
+def test_pipeline_files(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    shutil.copy(REF / "network.onnx", "network.onnx")
+    shutil.copy(REF / "input.json", "input.json")
+    ra = RunArgs(input_scale=4, param_scale=4, lookup_range=(-512, 512),
+                 logrows=11)
+    s = api.gen_settings("network.onnx", "settings.json", ra)
+    assert pathlib.Path("settings.json").exists()
+    api.compile_circuit("network.onnx", "settings.json", "model.compiled")
+    w = api.gen_witness("model.compiled", "input.json", "witness.json")
+    assert pathlib.Path("witness.json").exists()
+    outs = w["pretty_elements"]["rescaled_outputs"][0]
+    want = json.loads((REF / "input.json").read_text())["output_data"][0]
+    assert np.allclose(outs, want, atol=0.1)
+    assert api.mock("model.compiled", "input.json")
+
+
+@needs_ref
+def test_gen_random_data_and_table(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    shutil.copy(REF / "network.onnx", "network.onnx")
+    d = api.gen_random_data("network.onnx", "rand.json", seed=3)
+    assert pathlib.Path("rand.json").exists()
+    assert len(d["input_data"]) == 1
+    t = api.table("network.onnx")
+    assert "Relu" in t
+
+
+def test_poseidon_hash_api():
+    assert api.poseidon_hash([1, 2, 3]) == api.poseidon_hash([1, 2, 3])
+    assert api.poseidon_hash([1]) != api.poseidon_hash([2])
