@@ -22,7 +22,12 @@ def _setup_compile_cache():
 
     import jax
 
-    default = pathlib.Path.home() / ".ezkl-tpu" / "jax-cache"
+    # default: the repo-local cache (shared by tests, CLI and the driver's
+    # dryrun); falls back to ~/.ezkl-tpu for installed copies
+    repo_root = pathlib.Path(__file__).resolve().parent.parent
+    default = (repo_root / ".cache" / "jax"
+               if (repo_root / "pyproject.toml").exists()
+               else pathlib.Path.home() / ".ezkl-tpu" / "jax-cache")
     path = pathlib.Path(_os.environ.get("EZKL_TPU_CACHE", str(default)))
     try:
         path.mkdir(parents=True, exist_ok=True)
@@ -33,4 +38,20 @@ def _setup_compile_cache():
         pass  # cache is best-effort
 
 
+def _raise_stack_limit():
+    """XLA's recursive passes can overflow the default 8MB stack on the
+    large limb-arithmetic graphs; raise the soft limit (best effort)."""
+    try:
+        import resource
+
+        soft, hard = resource.getrlimit(resource.RLIMIT_STACK)
+        want = 512 * 1024 * 1024
+        if soft != resource.RLIM_INFINITY and soft < want:
+            new = want if hard == resource.RLIM_INFINITY else min(want, hard)
+            resource.setrlimit(resource.RLIMIT_STACK, (new, hard))
+    except Exception:
+        pass
+
+
+_raise_stack_limit()
 _setup_compile_cache()

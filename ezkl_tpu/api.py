@@ -206,7 +206,10 @@ def verify(proof_path="proof.json", vk_path="vk.key", srs_path=None,
     else:
         s = srsmod.get_or_create(vk.k)
     proof = Proof.from_json(pathlib.Path(proof_path).read_text())
-    return verifier_mod.verify(vk, s.g2, s.s_g2, proof)
+    try:
+        return verifier_mod.verify(vk, s.g2, s.s_g2, proof)
+    except (KeyError, IndexError, ValueError, AssertionError):
+        return False  # malformed proof = invalid
 
 
 def gen_random_data(model_path, output="input.json", seed=0):

@@ -259,7 +259,6 @@ class ProverKernels:
 
         def stage_quotient(advice_l, fixed_l, instance_l, theta, beta, gamma,
                            y, z_list, phi_list, m_all, *ch):
-            y1 = y[:, None]
             bb = beta[:, None]
             gg = gamma[:, None]
 
@@ -272,12 +271,17 @@ class ProverKernels:
                 INSTANCE: to_ext(instance_l) if cs.num_instance else empty(0),
             }
             ctx = ctx_of(cols_ext, step, ch)
-            total = jnp.zeros((NLIMBS, ext), jnp.uint32)
+            # Collect constraint terms, then combine as sum_i y^(T-1-i)*t_i
+            # with a log-depth tree (equals the verifier's Horner chain but
+            # keeps the XLA graph shallow — deep chains overflow the
+            # compiler's stack).
+            terms = []
 
-            def acc(total, term):
-                return limbs.add(FR, limbs.mont_mul(
-                    FR, total, jnp.broadcast_to(y1, total.shape)), term)
+            def acc(_ignored, term):
+                terms.append(term)
+                return None
 
+            total = None
             for g in cs.gates:
                 total = acc(total, evaluate(g.poly, ctx))
 
@@ -342,6 +346,22 @@ class ProverKernels:
                 total = acc(total, limbs.mont_mul(FR, not_last, running))
                 total = acc(total, limbs.mont_mul(FR, l0_ext, phi_e))
                 total = acc(total, limbs.mont_mul(FR, llast_ext, phi_e))
+
+            T = len(terms)
+            ypows = limbs.powers_dynamic(FR, y, T)            # (16, T)
+            scaled = [
+                limbs.mont_mul(FR, t, jnp.broadcast_to(
+                    ypows[:, T - 1 - i][:, None], t.shape))
+                for i, t in enumerate(terms)
+            ]
+            while len(scaled) > 1:
+                nxt = []
+                for i in range(0, len(scaled) - 1, 2):
+                    nxt.append(limbs.add(FR, scaled[i], scaled[i + 1]))
+                if len(scaled) % 2:
+                    nxt.append(scaled[-1])
+                scaled = nxt
+            total = scaled[0]
 
             h_ext = limbs.mont_mul(FR, total, dom.vanishing_inv_on_extended())
             h_coeff = dom.extended_to_coeff(h_ext)

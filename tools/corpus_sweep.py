@@ -38,7 +38,8 @@ DEFAULT_MODELS = [
     "1l_mean", "1l_powf", "2l_relu_small", "2l_relu_sigmoid_small",
     "2l_sigmoid_small", "2l_relu_fc", "1l_where", "exp", "clip",
     "3l_relu_conv_fc", "1l_average", "2l_relu_sigmoid_conv", "4l_relu_conv_fc",
-    "2l_relu_sigmoid",
+    "2l_relu_sigmoid", "1l_conv_transpose", "1l_upsample", "1l_prelu",
+    "1l_elu", "1l_gelu_noappx", "1l_downsample", "1l_var",
 ]
 
 
