@@ -250,6 +250,8 @@ class ProverKernels:
         self.stage_zphi = jax.jit(stage_zphi)
 
         # ---- stage C: quotient over the extended coset ------------------
+        # Split into several jits (transforms / term chunks / combine): one
+        # monolithic graph is too deep for the XLA CPU compiler's stack.
         def to_ext(v):
             vv = v if v.ndim == 3 else v[None]
             vv = jnp.moveaxis(vv, 1, 0)
@@ -257,98 +259,119 @@ class ProverKernels:
             out = jnp.moveaxis(out, 0, 1)
             return out if v.ndim == 3 else out[0]
 
-        def stage_quotient(advice_l, fixed_l, instance_l, theta, beta, gamma,
-                           y, z_list, phi_list, m_all, *ch):
+        def empty_ext():
+            return jnp.zeros((0, NLIMBS, ext), jnp.uint32)
+
+        _to_ext_jit = jax.jit(to_ext)
+
+        def stage_to_ext(advice_l, fixed_l, instance_l, z_list, phi_list, m_all):
+            # separate jit invocations per stack — one fused graph here is
+            # too much for the XLA CPU compiler at k >= 11
+            cols_ext = {
+                FIXED: _to_ext_jit(fixed_l) if cs.num_fixed else empty_ext(),
+                ADVICE: _to_ext_jit(advice_l) if cs.num_advice else empty_ext(),
+                INSTANCE: _to_ext_jit(instance_l) if cs.num_instance else empty_ext(),
+            }
+            sig_ext = _to_ext_jit(sigma_l) if m_perm else empty_ext()
+            z_ext = [_to_ext_jit(z) for z in z_list]
+            phi_ext = [_to_ext_jit(p) for p in phi_list]
+            m_ext = [_to_ext_jit(m) for m in m_all]
+            return cols_ext, sig_ext, z_ext, phi_ext, m_ext
+
+        self.stage_to_ext = stage_to_ext
+
+        # term descriptors, each independently buildable
+        term_descs = ([("gate", i) for i in range(len(cs.gates))]
+                      + sum(([("perm_run", ci), ("perm_bound", ci)]
+                             + ([("perm_last", ci)] if ci == len(chunks) - 1 else [])
+                             for ci in range(len(chunks))), [])
+                      + sum([[("lk_run", li), ("lk_l0", li), ("lk_last", li)]
+                             for li in range(len(cs.lookups))], []))
+        self.num_terms = len(term_descs)
+
+        def build_term(desc, cols_ext, sig_ext, z_ext, phi_ext, m_ext,
+                       theta, beta, gamma, ch):
+            kind, idx = desc
             bb = beta[:, None]
             gg = gamma[:, None]
-
-            def empty(c):
-                return jnp.zeros((0, NLIMBS, ext), jnp.uint32)
-
-            cols_ext = {
-                FIXED: to_ext(fixed_l) if cs.num_fixed else empty(0),
-                ADVICE: to_ext(advice_l) if cs.num_advice else empty(0),
-                INSTANCE: to_ext(instance_l) if cs.num_instance else empty(0),
-            }
             ctx = ctx_of(cols_ext, step, ch)
-            # Collect constraint terms, then combine as sum_i y^(T-1-i)*t_i
-            # with a log-depth tree (equals the verifier's Horner chain but
-            # keeps the XLA graph shallow — deep chains overflow the
-            # compiler's stack).
-            terms = []
+            if kind == "gate":
+                return evaluate(cs.gates[idx].poly, ctx)
+            if kind == "perm_run":
+                cset = chunks[idx]
+                z_e = z_ext[idx]
+                z_next = jnp.roll(z_e, -step, axis=-1)
+                num = den = None
+                for j in cset:
+                    c = cs.perm_columns[j]
+                    v = cols_ext[c.kind][c.index]
+                    idj = limbs.mont_mul(FR, dpow[:, j][:, None], coset_pts)
+                    a = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                        FR, jnp.broadcast_to(bb, idj.shape), idj)), gg)
+                    b = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                        FR, jnp.broadcast_to(bb, v.shape), sig_ext[j])), gg)
+                    num = a if num is None else limbs.mont_mul(FR, num, a)
+                    den = b if den is None else limbs.mont_mul(FR, den, b)
+                running = limbs.sub(FR, limbs.mont_mul(FR, z_next, den),
+                                    limbs.mont_mul(FR, z_e, num))
+                return limbs.mont_mul(FR, not_last, running)
+            if kind == "perm_bound":
+                z_e = z_ext[idx]
+                if idx == 0:
+                    return limbs.mont_mul(FR, l0_ext, limbs.sub(FR, z_e, one_ext))
+                prev_last = jnp.roll(z_ext[idx - 1], step, axis=-1)
+                return limbs.mont_mul(FR, l0_ext, limbs.sub(FR, z_e, prev_last))
+            if kind == "perm_last":
+                return limbs.mont_mul(FR, llast_ext,
+                                      limbs.sub(FR, z_ext[idx], one_ext))
+            lk = cs.lookups[idx]
+            phi_e = phi_ext[idx]
+            if kind == "lk_l0":
+                return limbs.mont_mul(FR, l0_ext, phi_e)
+            if kind == "lk_last":
+                return limbs.mont_mul(FR, llast_ext, phi_e)
+            # lk_run
+            m_e = m_ext[idx]
+            f_exts = [limbs.add(FR, compress(tup, ctx, theta), bb)
+                      for tup in lk.inputs]
+            t_e = limbs.add(FR, compress(lk.table, ctx, theta), bb)
+            prod_f = None
+            for fpb in f_exts:
+                prod_f = fpb if prod_f is None else limbs.mont_mul(FR, prod_f, fpb)
+            if len(f_exts) == 1:
+                sum_except = one_ext
+            else:
+                sum_except = None
+                for kk in range(len(f_exts)):
+                    pr = None
+                    for jj, fpb in enumerate(f_exts):
+                        if jj == kk:
+                            continue
+                        pr = fpb if pr is None else limbs.mont_mul(FR, pr, fpb)
+                    sum_except = pr if sum_except is None else limbs.add(FR, sum_except, pr)
+            phi_next = jnp.roll(phi_e, -step, axis=-1)
+            diff = limbs.sub(FR, phi_next, phi_e)
+            lhs = limbs.mont_mul(FR, limbs.mont_mul(FR, diff, prod_f), t_e)
+            rhs = limbs.sub(FR, limbs.mont_mul(FR, t_e, sum_except),
+                            limbs.mont_mul(FR, m_e, prod_f))
+            return limbs.mont_mul(FR, not_last, limbs.sub(FR, lhs, rhs))
 
-            def acc(_ignored, term):
-                terms.append(term)
-                return None
+        TERM_CHUNK = 2
+        self._term_jits = []
+        for lo in range(0, len(term_descs), TERM_CHUNK):
+            descs = term_descs[lo:lo + TERM_CHUNK]
 
-            total = None
-            for g in cs.gates:
-                total = acc(total, evaluate(g.poly, ctx))
+            def chunk_fn(cols_ext, sig_ext, z_ext, phi_ext, m_ext,
+                         theta, beta, gamma, ch, _descs=descs):
+                return [build_term(d, cols_ext, sig_ext, z_ext, phi_ext,
+                                   m_ext, theta, beta, gamma, ch)
+                        for d in _descs]
 
-            if m_perm:
-                sig_ext = to_ext(sigma_l)
-                z_ext = [to_ext(z) for z in z_list]
-                for ci, cset in enumerate(chunks):
-                    z_e = z_ext[ci]
-                    z_next = jnp.roll(z_e, -step, axis=-1)
-                    num = den = None
-                    for j in cset:
-                        c = cs.perm_columns[j]
-                        v = cols_ext[c.kind][c.index]
-                        idj = limbs.mont_mul(FR, dpow[:, j][:, None], coset_pts)
-                        a = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
-                            FR, jnp.broadcast_to(bb, idj.shape), idj)), gg)
-                        b = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
-                            FR, jnp.broadcast_to(bb, v.shape), sig_ext[j])), gg)
-                        num = a if num is None else limbs.mont_mul(FR, num, a)
-                        den = b if den is None else limbs.mont_mul(FR, den, b)
-                    running = limbs.sub(FR, limbs.mont_mul(FR, z_next, den),
-                                        limbs.mont_mul(FR, z_e, num))
-                    total = acc(total, limbs.mont_mul(FR, not_last, running))
-                    if ci == 0:
-                        total = acc(total, limbs.mont_mul(
-                            FR, l0_ext, limbs.sub(FR, z_e, one_ext)))
-                    else:
-                        prev_last = jnp.roll(z_ext[ci - 1], step, axis=-1)
-                        total = acc(total, limbs.mont_mul(
-                            FR, l0_ext, limbs.sub(FR, z_e, prev_last)))
-                    if ci == len(chunks) - 1:
-                        total = acc(total, limbs.mont_mul(
-                            FR, llast_ext, limbs.sub(FR, z_e, one_ext)))
+            self._term_jits.append(jax.jit(chunk_fn))
 
-            theta_b = theta
-            for li, lk in enumerate(cs.lookups):
-                phi_e = to_ext(phi_list[li])
-                m_e = to_ext(m_all[li])
-                f_exts = [limbs.add(FR, compress(tup, ctx, theta_b), bb)
-                          for tup in lk.inputs]
-                t_e = limbs.add(FR, compress(lk.table, ctx, theta_b), bb)
-                prod_f = None
-                for fpb in f_exts:
-                    prod_f = fpb if prod_f is None else limbs.mont_mul(FR, prod_f, fpb)
-                if len(f_exts) == 1:
-                    sum_except = one_ext
-                else:
-                    sum_except = None
-                    for kk in range(len(f_exts)):
-                        pr = None
-                        for jj, fpb in enumerate(f_exts):
-                            if jj == kk:
-                                continue
-                            pr = fpb if pr is None else limbs.mont_mul(FR, pr, fpb)
-                        sum_except = pr if sum_except is None else limbs.add(FR, sum_except, pr)
-                phi_next = jnp.roll(phi_e, -step, axis=-1)
-                diff = limbs.sub(FR, phi_next, phi_e)
-                lhs = limbs.mont_mul(FR, limbs.mont_mul(FR, diff, prod_f), t_e)
-                rhs = limbs.sub(FR, limbs.mont_mul(FR, t_e, sum_except),
-                                limbs.mont_mul(FR, m_e, prod_f))
-                running = limbs.sub(FR, lhs, rhs)
-                total = acc(total, limbs.mont_mul(FR, not_last, running))
-                total = acc(total, limbs.mont_mul(FR, l0_ext, phi_e))
-                total = acc(total, limbs.mont_mul(FR, llast_ext, phi_e))
-
+        def stage_combine(terms, y):
             T = len(terms)
-            ypows = limbs.powers_dynamic(FR, y, T)            # (16, T)
+            ypows = limbs.powers_dynamic(FR, y, T)
             scaled = [
                 limbs.mont_mul(FR, t, jnp.broadcast_to(
                     ypows[:, T - 1 - i][:, None], t.shape))
@@ -362,12 +385,22 @@ class ProverKernels:
                     nxt.append(scaled[-1])
                 scaled = nxt
             total = scaled[0]
-
             h_ext = limbs.mont_mul(FR, total, dom.vanishing_inv_on_extended())
             h_coeff = dom.extended_to_coeff(h_ext)
             return [h_coeff[..., i * n:(i + 1) * n] for i in range(ext // n)]
 
-        self.stage_quotient = jax.jit(stage_quotient)
+        self.stage_combine = jax.jit(stage_combine)
+
+        def stage_quotient(advice_l, fixed_l, instance_l, theta, beta, gamma,
+                           y, z_list, phi_list, m_all, *ch):
+            exts = self.stage_to_ext(advice_l, fixed_l, instance_l,
+                                     z_list, phi_list, m_all)
+            terms = []
+            for fn in self._term_jits:
+                terms.extend(fn(*exts, theta, beta, gamma, list(ch)))
+            return self.stage_combine(terms, y)
+
+        self.stage_quotient = stage_quotient  # composition of jits
 
         # ---- stage D: batched evaluation at an opening point ------------
         def stage_eval(coeff_stack, z_mont):

@@ -21,10 +21,10 @@ def test_mesh_has_8_devices():
 
 
 def test_msm_sharded_matches_host():
-    n = 16
+    n = 8
     pts_host = [hostcurve.g1_mul(hostcurve.G1, rng.randrange(1, 1 << 28)) for _ in range(n)]
     scalars = [rng.randrange(FR.modulus) for _ in range(n)]
-    mesh = sharded.make_mesh()
+    mesh = sharded.make_mesh(2)
     pts = curve.encode_points(pts_host)
     sc = jnp.asarray(limbs.encode(FR, scalars, mont=False))
     out = sharded.msm_sharded(mesh, pts, sc, c=3)
@@ -33,12 +33,12 @@ def test_msm_sharded_matches_host():
 
 
 def test_ntt_sharded_matches_single_and_roundtrip():
-    k = 6
+    k = 4
     n = 1 << k
-    R = C = 8
+    R = C = 4
     vals = [rng.randrange(FR.modulus) for _ in range(n)]
     dev = jnp.asarray(limbs.encode(FR, vals))
-    mesh = sharded.make_mesh()
+    mesh = sharded.make_mesh(2)
     mat = sharded.to_fourstep_layout(dev, R, C)
     out = sharded.ntt_sharded(mesh, FR, mat)
     flat = sharded.from_fourstep_layout(out)
