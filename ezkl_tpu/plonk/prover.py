@@ -139,6 +139,16 @@ def _eval_label(kind: str, index: int, rotation: int) -> str:
     return f"{kind}{index}@{rotation}"
 
 
+def _maybe_release_executables(n: int):
+    """Large circuits accumulate enough LLVM JIT code sections on the CPU
+    backend to exhaust section memory ("Unable to allocate section
+    memory"). Dropping the in-process executable cache between heavy
+    phases frees them; recompiles hit the persistent disk cache."""
+    if n >= 2048 and jax.default_backend() == "cpu" \
+            and not _os.environ.get("EZKL_TPU_KEEP_EXECUTABLES"):
+        jax.clear_caches()
+
+
 def _bcast(s, shape):
     return jnp.broadcast_to(s.reshape((NLIMBS,) + (1,) * (len(shape) - 1)), shape)
 
@@ -537,9 +547,12 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     _span("phase5: quotient")
     y = tr.challenge()
     y_dev = limbs.const(FR, y)
+    _maybe_release_executables(n)
     h_pieces = kern.stage_quotient(advice_l, fixed_l, instance_l, theta_dev,
                                    beta_dev, gamma_dev, y_dev, z_list,
                                    phi_list, m_all, *ch_dev)
+    h_pieces = [jnp.asarray(p) for p in h_pieces]
+    _maybe_release_executables(n)
     _span("phase5b: commit h")
     h_comms = []
     for piece in h_pieces:

@@ -30,3 +30,15 @@ os.environ.setdefault("EZKL_TPU_CACHE", str(_cache_dir))
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_jit_memory():
+    """Accumulated LLVM JIT code sections across the whole suite exhaust
+    section memory ('Unable to allocate section memory' / segfaults); drop
+    in-process executables after each module — recompiles hit the disk
+    cache."""
+    yield
+    jax.clear_caches()
