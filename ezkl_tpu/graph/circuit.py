@@ -146,7 +146,7 @@ class GraphCircuit:
             run_args=ra,
             num_rows=ctx.row,
             total_assignments=ctx.row,
-            model_input_scales=[ra.input_scale] * len(self.model.onnx.graph.inputs),
+            model_input_scales=self.model.input_scales(),
             model_output_scales=[tv.scale for tv in outputs],
             model_instance_shapes=[list(tv.shape) for tv in outputs],
             required_lookups=sorted(cfg.tables),
@@ -178,7 +178,8 @@ class GraphCircuit:
 
     def _quantized_inputs(self, input_arrays):
         from .quantize import quantize
-        return [quantize(a, self.run_args.input_scale) for a in input_arrays]
+        return [quantize(a, s)
+                for a, s in zip(input_arrays, self.model.input_scales())]
 
     # -- proving pipeline ---------------------------------------------------
 

@@ -47,6 +47,15 @@ class Model:
             out.append(tuple(int(s) for s in shape))
         return out
 
+    # ONNX TensorProto int/bool dtypes — quantized at scale 0 (the
+    # reference's InputType::{Bool,Int}, `circuit/ops/mod.rs:88-142`)
+    _INT_ELEM_TYPES = frozenset({2, 3, 4, 5, 6, 7, 9, 12, 13})
+
+    def input_scales(self) -> list[int]:
+        return [0 if ti.elem_type in self._INT_ELEM_TYPES
+                else self.run_args.input_scale
+                for ti in self.onnx.graph.inputs]
+
     # -- the layout pass (witness gen + constraints in one walk) ------------
 
     def layout(self, ctx: LayoutCtx, input_arrays: list[np.ndarray]) -> list[TVal]:
@@ -56,9 +65,9 @@ class Model:
 
         # graph inputs: quantize + place in advice
         ctx._input_tvals = []
-        for ti, arr in zip(g.inputs, input_arrays):
-            q = quantize(arr, ra.input_scale)
-            tv = TVal(q, ra.input_scale, None)
+        for ti, arr, in_scale in zip(g.inputs, input_arrays, self.input_scales()):
+            q = quantize(arr, in_scale)
+            tv = TVal(q, in_scale, None)
             ctx.materialize(tv, col=ctx.cfg.a0)
             values[ti.name] = tv
             ctx._input_tvals.append(tv)
@@ -220,9 +229,19 @@ class Model:
                     ins[0].scale, ins[0].scale, ra.lookup_range)
             elif op in ("Sqrt", "Erf", "Ln", "Log", "Cos", "Sin", "Rsqrt",
                         "Reciprocal", "HardSwish", "Elu", "Celu", "Gelu",
-                        "Softplus", "Softsign", "HardSigmoid", "Selu", "Mish"):
+                        "Softplus", "Softsign", "HardSigmoid", "Selu", "Mish",
+                        "Tan", "Asin", "Acos", "Atan", "Sinh", "Cosh",
+                        "Asinh", "Acosh", "Atanh"):
                 alpha = node.attrs.get("alpha", 1.0)
                 fn = {
+                    "Tan": np.tan,
+                    "Asin": lambda x: np.arcsin(np.clip(x, -1, 1)),
+                    "Acos": lambda x: np.arccos(np.clip(x, -1, 1)),
+                    "Atan": np.arctan,
+                    "Sinh": np.sinh, "Cosh": np.cosh,
+                    "Asinh": np.arcsinh,
+                    "Acosh": lambda x: np.arccosh(np.maximum(x, 1.0)),
+                    "Atanh": lambda x: np.arctanh(np.clip(x, -0.9999, 0.9999)),
                     "Sqrt": lambda x: np.sqrt(np.maximum(x, 0)),
                     "Rsqrt": lambda x: np.where(x > 0, 1.0 / np.sqrt(np.abs(x) + 1e-12), 0.0),
                     "Erf": lambda x: _erf(x),
@@ -309,14 +328,40 @@ class Model:
                     out = ops.pairwise(ctx, "sub", a, r)
             elif op == "Gather":
                 data, indices = ins[0], ins[1]
+                axis = node.attrs.get("axis", 0) % data.ints.ndim
                 if indices.span is not None:
-                    raise NotImplementedError("dynamic Gather (data-dependent"
-                                              " indices) not yet supported")
-                axis = node.attrs.get("axis", 0)
-                idx_grid = np.take(
-                    np.arange(data.ints.size).reshape(data.shape),
-                    indices.ints.astype(np.int64), axis=axis)
-                out = ops.reindex(data, idx_grid.reshape(-1), idx_grid.shape)
+                    out = self._dynamic_gather(ctx, data, indices, axis)
+                else:
+                    idx_grid = np.take(
+                        np.arange(data.ints.size).reshape(data.shape),
+                        indices.ints.astype(np.int64), axis=axis)
+                    out = ops.reindex(data, idx_grid.reshape(-1), idx_grid.shape)
+            elif op == "GatherElements":
+                data, indices = ins[0], ins[1]
+                axis = node.attrs.get("axis", 0) % data.ints.ndim
+                # some exporters omit axis; shapes pin it down (they must
+                # agree on every dim except the gather axis)
+                diff_dims = [i for i, (a_, b_) in
+                             enumerate(zip(data.shape, indices.shape))
+                             if a_ != b_]
+                if diff_dims and axis not in diff_dims:
+                    axis = diff_dims[0]
+                if indices.span is None:
+                    grid = np.arange(data.ints.size).reshape(data.shape)
+                    idx_grid = np.take_along_axis(
+                        grid, indices.ints.astype(np.int64), axis=axis)
+                    out = ops.reindex(data, idx_grid.reshape(-1), idx_grid.shape)
+                else:
+                    out = self._gather_elements_dyn(ctx, data, indices, axis)
+            elif op == "GatherND":
+                out = self._gather_nd_dyn(ctx, ins[0], ins[1],
+                                          node.attrs.get("batch_dims", 0))
+            elif op == "ScatterElements":
+                out = self._scatter_elements_dyn(
+                    ctx, ins[0], ins[1], ins[2],
+                    node.attrs.get("axis", 0) % ins[0].ints.ndim, align)
+            elif op == "ScatterND":
+                out = self._scatter_nd_dyn(ctx, ins[0], ins[1], ins[2], align)
             elif op in ("Expand", "Tile"):
                 src = ins[0]
                 if op == "Expand":
@@ -336,6 +381,82 @@ class Model:
                 out = ops.lookup_fn(ctx, f"clip{lo}_{hi}", ins[0],
                                     lambda x: np.clip(x, lo, hi),
                                     ins[0].scale, ins[0].scale, ra.lookup_range)
+            elif op == "Trilu":
+                upper = node.attrs.get("upper", 1)
+                kk = int(ins[1].ints.reshape(-1)[0]) if len(ins) > 1 else 0
+                mfn = np.triu if upper else np.tril
+                mask = mfn(np.ones(ins[0].shape[-2:], np.int64), kk)
+                mask = mask.reshape((1,) * (ins[0].ints.ndim - 2) + mask.shape)
+                out = ops.pairwise(ctx, "mul", ins[0], TVal(mask, 0, None))
+            elif op == "ReduceMin":
+                neg1 = TVal(np.full(1, -1, np.int64), 0, None)
+                negged = ops.pairwise(ctx, "mul", ins[0], neg1)
+                m = self._reduce_max(ctx, node, [negged], values)
+                out = ops.pairwise(ctx, "mul", m, neg1)
+            elif op == "ReduceL1":
+                av = ops.lookup_fn(ctx, "abs", ins[0], np.abs,
+                                   ins[0].scale, ins[0].scale, ra.lookup_range)
+                out = self._reduce(ctx, node, [av], values, mean=False)
+            elif op == "ReduceL2":
+                sq = ops.pairwise(ctx, "mul", ins[0], ins[0])
+                s = self._reduce(ctx, node, [sq], values, mean=False)
+                out = ops.lookup_fn(ctx, "sqrt", s,
+                                    lambda x: np.sqrt(np.maximum(x, 0)),
+                                    s.scale, ra.input_scale, ra.lookup_range)
+            elif op == "ReduceLogSumExp":
+                ex = ops.exp_op(ctx, ins[0], ra.input_scale, ra.lookup_range)
+                s = self._reduce(ctx, node, [ex], values, mean=False)
+                out = ops.lookup_fn(ctx, "ln", s, np.log,
+                                    s.scale, ra.input_scale, ra.lookup_range)
+            elif op == "ReduceProd":
+                out = self._reduce(ctx, node, [ins[0]], values, mean=False,
+                                   prod=True)
+                out = rebase(out)
+            elif op in ("ArgMax", "ArgMin"):
+                out = self._arg_extremum(ctx, node, ins, is_min=(op == "ArgMin"))
+            elif op == "Shape":
+                shp = np.asarray(ins[0].shape, np.int64)
+                st = node.attrs.get("start", 0)
+                en = node.attrs.get("end", len(shp))
+                out = TVal(shp[st:en], 0, None)
+            elif op == "Size":
+                out = TVal(np.asarray([ins[0].ints.size], np.int64), 0, None)
+            elif op == "ConstantOfShape":
+                shp = tuple(int(v) for v in ins[0].ints.reshape(-1))
+                val = node.attrs.get("value")
+                val = np.asarray(val).reshape(-1)[0] if val is not None else 0.0
+                if np.issubdtype(np.asarray(val).dtype, np.floating):
+                    out = TVal(quantize(np.full(shp, float(val)), ra.param_scale),
+                               ra.param_scale, None)
+                else:
+                    out = TVal(np.full(shp, int(val), np.int64), 0, None)
+            elif op == "Range":
+                def _c(tv):
+                    v = tv.ints.reshape(-1)[0]
+                    return float(v) / (1 << tv.scale) if tv.scale else int(v)
+                arr = np.arange(_c(ins[0]), _c(ins[1]), _c(ins[2]))
+                if np.issubdtype(arr.dtype, np.floating):
+                    out = TVal(quantize(arr, ra.param_scale), ra.param_scale, None)
+                else:
+                    out = TVal(arr.astype(np.int64), 0, None)
+            elif op == "InstanceNormalization":
+                out = rebase(self._instancenorm(ctx, node, ins, align))
+            elif op == "LayerNormalization":
+                out = rebase(self._layernorm(ctx, node, ins, align))
+            elif op == "OneHot":
+                out = self._onehot(ctx, node, ins, align)
+            elif op == "TopK":
+                outs = self._topk(ctx, node, ins)
+                for oname, otv in zip(node.outputs, outs):
+                    if oname:
+                        values[oname] = otv
+                out = outs[0]
+            elif op in ("RNN", "GRU", "LSTM"):
+                outs = self._recurrent(ctx, node, ins, align, rebase)
+                for oname, otv in zip(node.outputs, outs):
+                    if oname:
+                        values[oname] = otv
+                out = outs[0]
             else:
                 raise NotImplementedError(f"op {op} not yet supported")
             values[node.outputs[0]] = out
@@ -354,6 +475,8 @@ class Model:
         from .modules import get_freivalds
         from ezkl_tpu.graph.quantize import check_range
 
+        if a.ints.ndim > 2 or b.ints.ndim > 2:
+            return self._batched_matmul(ctx, a, b)
         use_fre = False
         if (not self.run_args.disable_freivalds
                 and a.ints.ndim == 2 and b.ints.ndim == 2):
@@ -368,6 +491,31 @@ class Model:
         out_ints = check_range(a.ints @ b.ints)
         span = mod.matmul(ctx, a, b, out_ints)
         return TVal(out_ints, a.scale + b.scale, span)
+
+    def _batched_matmul(self, ctx, a: TVal, b: TVal) -> TVal:
+        """ND (batched+broadcast) matmul as a loop of 2D matmuls over the
+        batch index (ONNX MatMul semantics)."""
+        ash, bsh = a.shape, b.shape
+        if a.ints.ndim < 2 or b.ints.ndim < 2:
+            raise NotImplementedError("1-D matmul operand")
+        batch = np.broadcast_shapes(ash[:-2], bsh[:-2])
+        M, K = ash[-2], ash[-1]
+        N = bsh[-1]
+
+        def sub2d(tv, shape, bi):
+            off = len(batch) - (len(shape) - 2)
+            oidx = tuple(0 if shape[i] == 1 else bi[off + i]
+                         for i in range(len(shape) - 2))
+            grid = np.arange(int(np.prod(shape, dtype=np.int64))).reshape(shape)
+            sl = grid[oidx]
+            return ops.reindex(tv, sl.reshape(-1), sl.shape)
+
+        outs = []
+        for bi in np.ndindex(*batch) if batch else [()]:
+            sub = ops.matmul(ctx, sub2d(a, ash, bi), sub2d(b, bsh, bi))
+            outs.append(TVal(sub.ints.reshape(1, M, N), sub.scale, sub.span))
+        out = ops.concat(ctx, outs, 0) if len(outs) > 1 else outs[0]
+        return TVal(out.ints.reshape(batch + (M, N)), out.scale, out.span)
 
     def _conv(self, ctx, node, ins, rebase):
         ra = self.run_args
@@ -451,7 +599,7 @@ class Model:
                             b.scale, 2 * ra.input_scale, ra.lookup_range)
         return rebase(ops.pairwise(ctx, "mul", a, inv))
 
-    def _reduce(self, ctx, node, ins, values, mean: bool):
+    def _reduce(self, ctx, node, ins, values, mean: bool, prod: bool = False):
         ra = self.run_args
         src = ins[0]
         axes = node.attrs.get("axes")
@@ -467,7 +615,13 @@ class Model:
         runs = int(np.prod(out_shape, dtype=np.int64)) or 1
         rl = int(moved.ints.size // runs)
         flat = TVal(moved.ints.reshape(runs, rl), moved.scale, moved.span)
-        out = ops.einsum(ctx, "rk->r", flat)
+        if prod:
+            out = ops.reindex(flat, np.arange(runs) * rl, (runs,))
+            for j in range(1, rl):
+                e = ops.reindex(flat, np.arange(runs) * rl + j, (runs,))
+                out = ops.pairwise(ctx, "mul", out, e)
+        else:
+            out = ops.einsum(ctx, "rk->r", flat)
         out = TVal(out.ints.reshape(out_shape), out.scale,
                    out.span)
         if mean:
@@ -508,6 +662,526 @@ class Model:
                 shp[a] = 1
             out = TVal(out.ints.reshape(shp), out.scale, out.span)
         return out
+
+    def _arg_extremum(self, ctx, node, ins, is_min: bool):
+        """ArgMax/ArgMin: chained pairwise extremum, then a first-occurrence
+        indicator (exclusive running product of (1-eq)) dotted with indices
+        (the reference's claimed-argmax hybrid, `hybrid.rs:15-106`)."""
+        ra = self.run_args
+        src = ins[0]
+        nd = src.ints.ndim
+        axis = node.attrs.get("axis", 0) % nd
+        perm = [i for i in range(nd) if i != axis] + [axis]
+        moved = ops.transpose(ctx, src, perm)
+        rl = src.shape[axis]
+        runs = int(src.ints.size // rl) or 1
+        flat = TVal(moved.ints.reshape(runs, rl), moved.scale, moved.span)
+        elems = [ops.reindex(flat, np.arange(runs) * rl + j, (runs,))
+                 for j in range(rl)]
+        acc = elems[0]
+        for e in elems[1:]:
+            if is_min:
+                diff = ops.pairwise(ctx, "sub", acc, e)
+                r = ops.relu(ctx, diff, ra.lookup_range)
+                acc = ops.pairwise(ctx, "sub", acc, r)
+            else:
+                acc = ops.pairwise_max(ctx, acc, e, ra.lookup_range)
+        one = TVal(np.ones(1, np.int64), 0, None)
+        prefix = TVal(np.ones(runs, np.int64), 0, None)
+        idx = TVal(np.zeros(runs, np.int64), 0, None)
+        for j, e in enumerate(elems):
+            eq = ops.equals(ctx, e, acc, ra.lookup_range)
+            first = ops.pairwise(ctx, "mul", eq, prefix)
+            if j:
+                jc = TVal(np.full(1, j, np.int64), 0, None)
+                idx = ops.pairwise(ctx, "add", idx,
+                                   ops.pairwise(ctx, "mul", first, jc))
+            if j < rl - 1:
+                prefix = ops.pairwise(ctx, "mul", prefix,
+                                      ops.pairwise(ctx, "sub", one, eq))
+        out_shape = tuple(src.shape[i] for i in range(nd) if i != axis)
+        out = TVal(idx.ints.reshape(out_shape or (1,)), 0, idx.span)
+        if node.attrs.get("keepdims", 1):
+            shp = list(src.shape)
+            shp[axis] = 1
+            out = TVal(out.ints.reshape(shp), 0, out.span)
+        return out
+
+    # -- dynamic (witness-index) gather/scatter via one-hot indicators ------
+    # out = sum_j eq(idx, j) * data[j]; sound because eq comes from the
+    # is_zero lookup (the reference routes these through its dynamic-lookup
+    # argument, `layouts.rs:1483`; the indicator sum is the TPU-friendly
+    # equivalent for small gathered axes).
+
+    def _eq_const(self, ctx, idx: TVal, j: int) -> TVal:
+        jc = TVal(np.full(1, j, np.int64), 0, None)
+        return ops.equals(ctx, idx, jc, self.run_args.lookup_range)
+
+    def _dynamic_gather(self, ctx, data: TVal, indices: TVal, axis: int) -> TVal:
+        assert indices.scale == 0, "gather indices must be integer-typed"
+        L = data.shape[axis]
+        if L > 256:
+            raise NotImplementedError(f"dynamic Gather over axis of {L}")
+        flat_idx = TVal(indices.ints.reshape(-1), 0, indices.span)
+        n_idx = flat_idx.ints.size
+        grid = np.arange(data.ints.size).reshape(data.shape)
+        acc = None
+        for j in range(L):
+            eq = self._eq_const(ctx, flat_idx, j)                  # (n_idx,)
+            slc = np.take(grid, j, axis=axis)
+            dsub = ops.reindex(data, slc.reshape(-1), slc.shape)
+            eqb = TVal(eq.ints.reshape((n_idx,) + (1,) * dsub.ints.ndim),
+                       0, eq.span)
+            dsubb = TVal(dsub.ints.reshape((1,) + dsub.ints.shape),
+                         dsub.scale, dsub.span)
+            term = ops.pairwise(ctx, "mul", eqb, dsubb)
+            acc = term if acc is None else ops.pairwise(ctx, "add", acc, term)
+        pre = data.shape[:axis]
+        post = data.shape[axis + 1:]
+        # acc: (n_idx,) + pre + post -> (pre, idx.shape, post)
+        nd = acc.ints.ndim
+        perm = (list(range(1, 1 + len(pre))) + [0]
+                + list(range(1 + len(pre), nd)))
+        moved = ops.transpose(ctx, acc, perm)
+        return TVal(moved.ints.reshape(pre + indices.shape + post),
+                    moved.scale, moved.span)
+
+    def _gather_elements_dyn(self, ctx, data: TVal, indices: TVal,
+                             axis: int) -> TVal:
+        assert indices.scale == 0
+        L = data.shape[axis]
+        if L > 256:
+            raise NotImplementedError(f"dynamic GatherElements over axis {L}")
+        grid = np.arange(data.ints.size).reshape(data.shape)
+        acc = None
+        for j in range(L):
+            eq = self._eq_const(
+                ctx, TVal(indices.ints.reshape(-1), 0, indices.span), j)
+            eq = TVal(eq.ints.reshape(indices.shape), 0, eq.span)
+            slc = np.take(grid, j, axis=axis)
+            dsub = ops.reindex(data, slc.reshape(-1), slc.shape)
+            shp = list(dsub.ints.shape)
+            shp.insert(axis, 1)
+            dsubb = TVal(dsub.ints.reshape(shp), dsub.scale, dsub.span)
+            term = ops.pairwise(ctx, "mul", eq, dsubb)
+            acc = term if acc is None else ops.pairwise(ctx, "add", acc, term)
+        return acc
+
+    def _linearize_nd_index(self, ctx, indices: TVal, dims: tuple) -> TVal:
+        """Fold the last-dim components of an ND index into a flat index:
+        lin = sum_i comp_i * stride_i (scale-0 arithmetic)."""
+        d = indices.shape[-1]
+        strides = np.cumprod([1] + list(dims[::-1]))[::-1][1:]  # row-major
+        grid = np.arange(indices.ints.size).reshape(indices.shape)
+        lin = None
+        for i in range(d):
+            sl = grid[..., i]
+            comp = ops.reindex(indices, sl.reshape(-1), sl.shape)
+            term = (comp if strides[i] == 1
+                    else ops.const_mul(ctx, comp, int(strides[i])))
+            lin = term if lin is None else ops.pairwise(ctx, "add", lin, term)
+        return lin
+
+    def _gather_nd_dyn(self, ctx, data: TVal, indices: TVal,
+                       batch_dims: int) -> TVal:
+        if batch_dims:
+            raise NotImplementedError("GatherND batch_dims > 0")
+        if indices.span is None:
+            d = indices.shape[-1]
+            lin = indices.ints.reshape(-1, d) @ np.cumprod(
+                [1] + list(data.shape[:d][::-1]))[::-1][1:]
+            grid = np.arange(data.ints.size).reshape(
+                (int(np.prod(data.shape[:d], dtype=np.int64)),) + data.shape[d:])
+            sel = grid[lin]
+            return ops.reindex(data, sel.reshape(-1),
+                               indices.shape[:-1] + data.shape[d:])
+        d = indices.shape[-1]
+        dims = data.shape[:d]
+        L = int(np.prod(dims, dtype=np.int64))
+        if L > 256:
+            raise NotImplementedError(f"dynamic GatherND over {L} slices")
+        lin = self._linearize_nd_index(ctx, indices, dims)
+        flat_data = TVal(data.ints.reshape((L,) + data.shape[d:]),
+                         data.scale, data.span)
+        out = self._dynamic_gather(ctx, flat_data,
+                                   TVal(lin.ints.reshape(indices.shape[:-1]),
+                                        0, lin.span), 0)
+        return out
+
+    def _scatter_elements_dyn(self, ctx, data: TVal, indices: TVal,
+                              updates: TVal, axis: int, align) -> TVal:
+        """out = data*(1-mask) + scattered updates, mask/contrib built from
+        one-hot indicators over the scatter axis (assumes unique indices per
+        slice, as ONNX requires for deterministic ScatterElements)."""
+        ra = self.run_args
+        L = data.shape[axis]
+        if L > 256:
+            raise NotImplementedError(f"dynamic ScatterElements over axis {L}")
+        grid_u = np.arange(updates.ints.size).reshape(updates.shape)
+        nupd = updates.shape[axis]
+        eqs = []   # eqs[k][t]: indicator that idx[..., k]==t
+        idx_flat = TVal(indices.ints.reshape(-1), 0, indices.span)
+        for k in range(nupd):
+            slk = np.take(grid_u, k, axis=axis)
+            comp = ops.reindex(indices, slk.reshape(-1), slk.shape) \
+                if indices.span is not None else None
+            if comp is None:
+                comp = TVal(np.take(indices.ints, k, axis=axis), 0, None)
+            eqs.append([self._eq_const(ctx, comp, t) for t in range(L)])
+        grid_d = np.arange(data.ints.size).reshape(data.shape)
+        out_slices = []
+        one = TVal(np.ones(1, np.int64), 0, None)
+        for t in range(L):
+            sld = np.take(grid_d, t, axis=axis)
+            dslice = ops.reindex(data, sld.reshape(-1), sld.shape)
+            mask = None
+            contrib = None
+            for k in range(nupd):
+                slk = np.take(grid_u, k, axis=axis)
+                uslice = ops.reindex(updates, slk.reshape(-1), slk.shape)
+                e = eqs[k][t]
+                e = TVal(e.ints.reshape(uslice.ints.shape), 0, e.span)
+                mask = e if mask is None else ops.pairwise(ctx, "add", mask, e)
+                term = ops.pairwise(ctx, "mul", e, uslice)
+                contrib = term if contrib is None else \
+                    ops.pairwise(ctx, "add", contrib, term)
+            keep = ops.pairwise(ctx, "sub", one, mask)
+            kept = ops.pairwise(ctx, "mul", keep, dslice)
+            a2, b2 = align(kept, contrib)
+            o = ops.pairwise(ctx, "add", a2, b2)
+            shp = list(o.ints.shape)
+            shp.insert(axis, 1)
+            out_slices.append(TVal(o.ints.reshape(shp), o.scale, o.span))
+        return ops.concat(ctx, out_slices, axis)
+
+    def _scatter_nd_dyn(self, ctx, data: TVal, indices: TVal,
+                        updates: TVal, align) -> TVal:
+        d = indices.shape[-1]
+        dims = data.shape[:d]
+        L = int(np.prod(dims, dtype=np.int64))
+        if L > 256:
+            raise NotImplementedError(f"dynamic ScatterND over {L} slices")
+        lin = self._linearize_nd_index(ctx, indices, dims) \
+            if indices.span is not None else \
+            TVal(indices.ints.reshape(-1, d) @ np.cumprod(
+                [1] + list(dims[::-1]))[::-1][1:], 0, None)
+        flat_data = TVal(data.ints.reshape((L,) + data.shape[d:]),
+                         data.scale, data.span)
+        flat_upd = TVal(
+            updates.ints.reshape((-1,) + data.shape[d:]),
+            updates.scale, updates.span)
+        # indicator scatter over the flattened leading dims
+        nupd = flat_upd.ints.shape[0]
+        lin_flat = TVal(lin.ints.reshape(-1), 0, lin.span)
+        grid_u = np.arange(flat_upd.ints.size).reshape(flat_upd.ints.shape)
+        grid_d = np.arange(flat_data.ints.size).reshape(flat_data.ints.shape)
+        one = TVal(np.ones(1, np.int64), 0, None)
+        rows = []
+        eq_cache = [[None] * L for _ in range(nupd)]
+        for k in range(nupd):
+            comp = ops.reindex(lin_flat, np.asarray([k]), (1,))
+            for t in range(L):
+                eq_cache[k][t] = self._eq_const(ctx, comp, t)
+        for t in range(L):
+            dslice = ops.reindex(flat_data, grid_d[t].reshape(-1),
+                                 grid_d[t].shape)
+            mask = None
+            contrib = None
+            for k in range(nupd):
+                uslice = ops.reindex(flat_upd, grid_u[k].reshape(-1),
+                                     grid_u[k].shape)
+                e = eq_cache[k][t]
+                eb = TVal(e.ints.reshape((1,) * max(dslice.ints.ndim, 1)),
+                          0, e.span)
+                mask = eb if mask is None else ops.pairwise(ctx, "add", mask, eb)
+                term = ops.pairwise(ctx, "mul", eb, uslice)
+                contrib = term if contrib is None else \
+                    ops.pairwise(ctx, "add", contrib, term)
+            keep = ops.pairwise(ctx, "sub", one, mask)
+            kept = ops.pairwise(ctx, "mul", keep, dslice)
+            a2, b2 = align(kept, contrib)
+            o = ops.pairwise(ctx, "add", a2, b2)
+            rows.append(TVal(o.ints.reshape((1,) + tuple(o.ints.shape)),
+                             o.scale, o.span))
+        out = ops.concat(ctx, rows, 0) if len(rows) > 1 else rows[0]
+        return TVal(out.ints.reshape(data.shape), out.scale, out.span)
+
+    def _onehot(self, ctx, node, ins, align):
+        """OneHot(indices, depth, [off, on]) via the eq-indicator family
+        (reference `layouts.rs:1398`)."""
+        indices, depth_tv = ins[0], ins[1]
+        depth = int(depth_tv.ints.reshape(-1)[0])
+        vals = ins[2] if len(ins) > 2 else None
+        nd_out = indices.ints.ndim + 1
+        axis = node.attrs.get("axis", -1) % nd_out
+        flat_idx = TVal(indices.ints.reshape(-1), 0, indices.span)
+        cols = []
+        for j in range(depth):
+            eq = self._eq_const(ctx, flat_idx, j)
+            cols.append(TVal(eq.ints.reshape(-1, 1), 0, eq.span))
+        hot = ops.concat(ctx, cols, 1)          # (n_idx, depth), {0,1} scale 0
+        if vals is not None:
+            off_f, on_f = (vals.ints.astype(np.float64)
+                           / (1 << vals.scale)).reshape(-1)
+            if (off_f, on_f) != (0.0, 1.0):
+                span_c = TVal(quantize(np.asarray(on_f - off_f),
+                                       vals.scale), vals.scale, None)
+                hot = ops.pairwise(ctx, "mul", hot, span_c)
+                if off_f:
+                    off_c = TVal(quantize(np.asarray(off_f), hot.scale),
+                                 hot.scale, None)
+                    hot = ops.pairwise(ctx, "add", hot, off_c)
+        # (idx..., depth) -> move depth to `axis`
+        cur = indices.shape + (depth,)
+        hot = TVal(hot.ints.reshape(cur), hot.scale, hot.span)
+        perm = list(range(len(indices.shape)))
+        perm.insert(axis, len(indices.shape))
+        return ops.transpose(ctx, hot, perm)
+
+    def _topk(self, ctx, node, ins):
+        """TopK by iterative extraction: max -> first-occurrence one-hot ->
+        index, then mask the taken element out (reference's sort/topk
+        family, `layouts.rs:1158-1360`)."""
+        ra = self.run_args
+        src = ins[0]
+        kk = int(ins[1].ints.reshape(-1)[0])
+        nd = src.ints.ndim
+        axis = node.attrs.get("axis", -1) % nd
+        largest = node.attrs.get("largest", 1)
+        perm = [i for i in range(nd) if i != axis] + [axis]
+        moved = ops.transpose(ctx, src, perm)
+        rl = src.shape[axis]
+        runs = int(src.ints.size // rl) or 1
+        cur = TVal(moved.ints.reshape(runs, rl), moved.scale, moved.span)
+        one = TVal(np.ones(1, np.int64), 0, None)
+        # sentinel just outside the data range (keeps lookup diffs in-table)
+        lo = int(cur.ints.min()) - 1
+        hi = int(cur.ints.max()) + 1
+        sentinel = TVal(np.full(1, lo if largest else hi, np.int64),
+                        cur.scale, None)
+        val_rows, idx_rows = [], []
+        for _ in range(kk):
+            elems = [ops.reindex(cur, np.arange(runs) * rl + j, (runs,))
+                     for j in range(rl)]
+            acc = elems[0]
+            for e in elems[1:]:
+                if largest:
+                    acc = ops.pairwise_max(ctx, acc, e, ra.lookup_range)
+                else:
+                    diff = ops.pairwise(ctx, "sub", acc, e)
+                    r = ops.relu(ctx, diff, ra.lookup_range)
+                    acc = ops.pairwise(ctx, "sub", acc, r)
+            prefix = TVal(np.ones(runs, np.int64), 0, None)
+            idx = TVal(np.zeros(runs, np.int64), 0, None)
+            sel_cols = []
+            for j, e in enumerate(elems):
+                eq = ops.equals(ctx, e, acc, ra.lookup_range)
+                first = ops.pairwise(ctx, "mul", eq, prefix)
+                sel_cols.append(TVal(first.ints.reshape(-1, 1), 0, first.span))
+                if j:
+                    jc = TVal(np.full(1, j, np.int64), 0, None)
+                    idx = ops.pairwise(ctx, "add", idx,
+                                       ops.pairwise(ctx, "mul", first, jc))
+                if j < rl - 1:
+                    prefix = ops.pairwise(ctx, "mul", prefix,
+                                          ops.pairwise(ctx, "sub", one, eq))
+            val_rows.append(TVal(acc.ints.reshape(runs, 1), acc.scale, acc.span))
+            idx_rows.append(TVal(idx.ints.reshape(runs, 1), 0, idx.span))
+            if len(val_rows) < kk:
+                sel = ops.concat(ctx, sel_cols, 1)          # (runs, rl)
+                notsel = ops.pairwise(ctx, "sub", one, sel)
+                kept = ops.pairwise(ctx, "mul", notsel, cur)
+                repl = ops.pairwise(ctx, "mul", sel, sentinel)
+                cur = ops.pairwise(ctx, "add", kept, repl)
+        vals = ops.concat(ctx, val_rows, 1)                  # (runs, k)
+        idxs = ops.concat(ctx, idx_rows, 1)
+        out_shape = tuple(src.shape[i] for i in perm[:-1]) + (kk,)
+        inv_perm = np.argsort(perm).tolist()
+        vt = ops.transpose(ctx, TVal(vals.ints.reshape(out_shape),
+                                     vals.scale, vals.span), inv_perm)
+        it = ops.transpose(ctx, TVal(idxs.ints.reshape(out_shape),
+                                     0, idxs.span), inv_perm)
+        return [vt, it]
+
+    def _instancenorm(self, ctx, node, ins, align):
+        """y = gamma * (x - mean_HW) / sqrt(var_HW + eps) + beta, per (N,C)
+        instance (reference maps InstanceNorm to mean/var primitives)."""
+        ra = self.run_args
+        x, gamma, beta = ins[0], ins[1], ins[2]
+        eps = node.attrs.get("epsilon", 1e-5)
+        N, C = x.shape[0], x.shape[1]
+        spatial = int(np.prod(x.shape[2:], dtype=np.int64)) or 1
+        flat = TVal(x.ints.reshape(N * C, spatial), x.scale, x.span)
+        s = ops.einsum(ctx, "rk->r", flat)
+        mean = ops.div_known(ctx, s, spatial, s.scale)
+        meanb = TVal(mean.ints.reshape(N * C, 1), mean.scale, mean.span)
+        diff = ops.pairwise(ctx, "sub", flat, meanb)
+        sq = ops.pairwise(ctx, "mul", diff, diff)
+        vs = ops.einsum(ctx, "rk->r", sq)
+        var = ops.div_known(ctx, vs, spatial, vs.scale)
+        inv = ops.lookup_fn(
+            ctx, f"rsqrt_e{eps}", var,
+            lambda v: 1.0 / np.sqrt(np.maximum(v, 0) + eps),
+            var.scale, ra.param_scale, ra.lookup_range)
+        invb = TVal(inv.ints.reshape(N * C, 1), inv.scale, inv.span)
+        normed = ops.pairwise(ctx, "mul", diff, invb)
+        gb = TVal(np.tile(gamma.ints.reshape(C, 1), (N, 1)), gamma.scale, None)
+        bb = TVal(np.tile(beta.ints.reshape(C, 1), (N, 1)), beta.scale, None)
+        scaled = ops.pairwise(ctx, "mul", normed, gb)
+        a2, b2 = align(scaled, bb)
+        out = ops.pairwise(ctx, "add", a2, b2)
+        return TVal(out.ints.reshape(x.shape), out.scale, out.span)
+
+    def _layernorm(self, ctx, node, ins, align):
+        """LayerNormalization over dims [axis:] with gamma/beta."""
+        ra = self.run_args
+        x = ins[0]
+        gamma = ins[1] if len(ins) > 1 else None
+        beta = ins[2] if len(ins) > 2 else None
+        eps = node.attrs.get("epsilon", 1e-5)
+        nd = x.ints.ndim
+        axis = node.attrs.get("axis", -1) % nd
+        runs = int(np.prod(x.shape[:axis], dtype=np.int64)) or 1
+        rl = int(x.ints.size // runs)
+        flat = TVal(x.ints.reshape(runs, rl), x.scale, x.span)
+        s = ops.einsum(ctx, "rk->r", flat)
+        mean = ops.div_known(ctx, s, rl, s.scale)
+        meanb = TVal(mean.ints.reshape(runs, 1), mean.scale, mean.span)
+        diff = ops.pairwise(ctx, "sub", flat, meanb)
+        sq = ops.pairwise(ctx, "mul", diff, diff)
+        vs = ops.einsum(ctx, "rk->r", sq)
+        var = ops.div_known(ctx, vs, rl, vs.scale)
+        inv = ops.lookup_fn(
+            ctx, f"rsqrt_e{eps}", var,
+            lambda v: 1.0 / np.sqrt(np.maximum(v, 0) + eps),
+            var.scale, ra.param_scale, ra.lookup_range)
+        invb = TVal(inv.ints.reshape(runs, 1), inv.scale, inv.span)
+        out = ops.pairwise(ctx, "mul", diff, invb)
+        if gamma is not None:
+            gb = TVal(gamma.ints.reshape(1, rl), gamma.scale, gamma.span)
+            out = ops.pairwise(ctx, "mul", out, gb)
+        if beta is not None:
+            bb = TVal(beta.ints.reshape(1, rl), beta.scale, beta.span)
+            a2, b2 = align(out, bb)
+            out = ops.pairwise(ctx, "add", a2, b2)
+        return TVal(out.ints.reshape(x.shape), out.scale, out.span)
+
+    def _recurrent(self, ctx, node, ins, align, rebase):
+        """Unrolled single-direction RNN/GRU/LSTM cells (the reference maps
+        these through tract's Scan subgraphs, `model.rs:783-969`; here the
+        static seq length lets us unroll into matmul + lookup primitives)."""
+        ra = self.run_args
+        kind = node.op_type
+        H = int(node.attrs.get("hidden_size"))
+        direction = node.attrs.get("direction", b"forward")
+        if isinstance(direction, bytes):
+            direction = direction.decode()
+        if direction != "forward":
+            raise NotImplementedError("bidirectional recurrent nets")
+        named = ins  # node.inputs with '' dropped: X, W, R, [B, initial_h, initial_c]
+        X, W, R = named[0], named[1], named[2]
+        B = named[3] if len(named) > 3 else None
+        init_h = named[4] if len(named) > 4 else None
+        init_c = named[5] if len(named) > 5 else None
+        G = {"RNN": 1, "GRU": 3, "LSTM": 4}[kind]
+        seq, batch, I = X.shape
+        s = ra.input_scale
+
+        def const2d(tv, shape):
+            return TVal(tv.ints.reshape(shape), tv.scale, tv.span)
+
+        assert W.span is None and R.span is None, "recurrent weights must be constant"
+        Wt = TVal(np.ascontiguousarray(W.ints.reshape(G * H, I).T), W.scale, None)
+        Rt = TVal(np.ascontiguousarray(R.ints.reshape(G * H, H).T), R.scale, None)
+
+        def requant_state(tv, shape):
+            if tv is None:
+                return TVal(np.zeros(shape, np.int64), s, None)
+            f = tv.ints.astype(np.float64) / (1 << tv.scale)
+            return TVal(quantize(f.reshape(shape), s), s, None)
+
+        h = requant_state(init_h, (batch, H))
+        c = requant_state(init_c, (batch, H)) if kind == "LSTM" else None
+
+        # bias split: B = [Wb || Rb], each G*H
+        wb = rb = None
+        if B is not None:
+            bf = B.ints.astype(np.float64).reshape(-1) / (1 << B.scale)
+            wb_f, rb_f = bf[:G * H], bf[G * H:]
+            gate_scale = X.scale + W.scale
+            wb = TVal(quantize(wb_f.reshape(1, G * H), gate_scale), gate_scale, None)
+            rb = TVal(quantize(rb_f.reshape(1, G * H), s + R.scale), s + R.scale, None)
+
+        def gate_slice(g, j):
+            idx = (np.arange(batch)[:, None] * (G * H)
+                   + np.arange(j * H, (j + 1) * H)[None, :])
+            return ops.reindex(g, idx.reshape(-1), (batch, H))
+
+        x_grid = np.arange(int(np.prod(X.shape, dtype=np.int64))).reshape(X.shape)
+        ys = []
+        for t in range(seq):
+            xt = ops.reindex(X, x_grid[t].reshape(-1), (batch, I))
+            gx = ops.matmul(ctx, xt, Wt)
+            if wb is not None:
+                a2, b2 = align(gx, wb)
+                gx = ops.pairwise(ctx, "add", a2, b2)
+            if h.span is None:
+                ctx.materialize(h)
+            gh = ops.matmul(ctx, h, Rt)
+            if kind == "GRU" and rb is not None:
+                a2, b2 = align(gh, rb)
+                gh = ops.pairwise(ctx, "add", a2, b2)
+            if kind == "RNN":
+                a2, b2 = align(gx, gh)
+                g = ops.pairwise(ctx, "add", a2, b2)
+                if rb is not None:
+                    a2, b2 = align(g, rb)
+                    g = ops.pairwise(ctx, "add", a2, b2)
+                h = ops.tanh_op(ctx, g, s, ra.lookup_range)
+            elif kind == "GRU":
+                # gates z, r; candidate h uses r * (H@R^T + Rb) (linear_before_reset)
+                az, bz = align(gate_slice(gx, 0), gate_slice(gh, 0))
+                z = ops.sigmoid(ctx, ops.pairwise(ctx, "add", az, bz), s,
+                                ra.lookup_range)
+                ar, br = align(gate_slice(gx, 1), gate_slice(gh, 1))
+                r = ops.sigmoid(ctx, ops.pairwise(ctx, "add", ar, br), s,
+                                ra.lookup_range)
+                rgh = ops.pairwise(ctx, "mul", r, gate_slice(gh, 2))
+                rgh = ops.div_rebase(ctx, rgh, s, ra.lookup_range)
+                ah, bh = align(gate_slice(gx, 2), rgh)
+                hh = ops.tanh_op(ctx, ops.pairwise(ctx, "add", ah, bh), s,
+                                 ra.lookup_range)
+                one = TVal(np.full(1, 1 << s, np.int64), s, None)
+                notz = ops.pairwise(ctx, "sub", one, z)
+                nh = ops.pairwise(ctx, "add",
+                                  ops.pairwise(ctx, "mul", notz, hh),
+                                  ops.pairwise(ctx, "mul", z, h))
+                h = ops.div_rebase(ctx, nh, s, ra.lookup_range)
+            else:  # LSTM: gate order i, o, f, c
+                a2, b2 = align(gx, gh)
+                g = ops.pairwise(ctx, "add", a2, b2)
+                if rb is not None:
+                    a2, b2 = align(g, rb)
+                    g = ops.pairwise(ctx, "add", a2, b2)
+                i_g = ops.sigmoid(ctx, gate_slice(g, 0), s, ra.lookup_range)
+                o_g = ops.sigmoid(ctx, gate_slice(g, 1), s, ra.lookup_range)
+                f_g = ops.sigmoid(ctx, gate_slice(g, 2), s, ra.lookup_range)
+                cand = ops.tanh_op(ctx, gate_slice(g, 3), s, ra.lookup_range)
+                if c.span is None:
+                    ctx.materialize(c)
+                c2 = ops.pairwise(ctx, "add",
+                                  ops.pairwise(ctx, "mul", f_g, c),
+                                  ops.pairwise(ctx, "mul", i_g, cand))
+                c = ops.div_rebase(ctx, c2, s, ra.lookup_range)
+                tc = ops.tanh_op(ctx, c, s, ra.lookup_range)
+                nh = ops.pairwise(ctx, "mul", o_g, tc)
+                h = ops.div_rebase(ctx, nh, s, ra.lookup_range)
+            ys.append(TVal(h.ints.reshape(1, 1, batch, H), h.scale, h.span))
+        Y = ops.concat(ctx, ys, 0) if len(ys) > 1 else ys[0]
+        outs = [Y, TVal(h.ints.reshape(1, batch, H), h.scale, h.span)]
+        if kind == "LSTM":
+            outs.append(TVal(c.ints.reshape(1, batch, H), c.scale, c.span))
+        return outs
 
     def _batchnorm(self, ctx, node, ins, align):
         """Fold BN into a constant affine: y = x*gn + bn (host-folded)."""

@@ -69,6 +69,27 @@ def test_mock_catches_bad_instance():
     assert any(f.kind == "copy" for f in fails)
 
 
+@needs_ref
+@pytest.mark.parametrize("name,ra_kwargs", [
+    ("tril", dict(input_scale=4, param_scale=4, lookup_range=(-512, 512))),
+    ("boolean", dict(input_scale=4, param_scale=4, lookup_range=(-512, 512))),
+    ("hard_max", dict(input_scale=4, param_scale=4, lookup_range=(-1024, 1024))),
+    ("1l_topk", dict(input_scale=4, param_scale=4, lookup_range=(-1024, 1024))),
+])
+def test_new_op_witness_and_mock(name, ra_kwargs):
+    """Ops added for corpus parity: Trilu, bool inputs + logicals,
+    ArgMax (claimed-index), TopK (iterative extraction)."""
+    path, inp = load_example(name)
+    gc = GraphCircuit.from_onnx(path, RunArgs(**ra_kwargs))
+    shapes = gc.model.input_shapes()
+    arrays = [np.asarray(x, np.float64).reshape(s)
+              for x, s in zip(inp["input_data"], shapes)]
+    gc.gen_settings(arrays)
+    w = gc.gen_witness(arrays)
+    assert w["max_row"] > 0
+    assert gc.mock_prove(arrays) == []
+
+
 def test_settings_roundtrip():
     from ezkl_tpu.graph.circuit import GraphSettings
     ra = RunArgs(input_scale=5)
