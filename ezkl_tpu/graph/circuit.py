@@ -134,7 +134,15 @@ class GraphCircuit:
         inputs = sample_inputs or [np.zeros(s, np.float64)
                                    for s in self.model.input_shapes()]
         probe_k = max(ra.logrows, 17)
-        cfg, ctx, outputs = self._run_layout(inputs, probe_k)
+        while True:
+            try:
+                cfg, ctx, outputs = self._run_layout(inputs, probe_k)
+                break
+            except ValueError as e:
+                # sizing probe too small for the model: retry with more rows
+                if "circuit overflow" not in str(e) or probe_k >= 26:
+                    raise
+                probe_k += 2
         table_rows = max(
             (info["inputs"].size for info in cfg.tables.values()), default=0)
         need = max(ctx.row + 1, table_rows + 1,

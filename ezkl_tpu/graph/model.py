@@ -12,6 +12,7 @@ aligned by constant multiplication (Rescaled, `node.rs:86-137`).
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -187,6 +188,18 @@ class Model:
                 out = self._pool(ctx, node, ins, rebase)
             elif op == "Concat":
                 axis = node.attrs.get("axis", 0)
+                # scalar shape arithmetic can leave stray unit dims; squeeze
+                # operands down to the common (minimum) rank
+                min_nd = min(t.ints.ndim for t in ins)
+                fixed = []
+                for t in ins:
+                    if t.ints.ndim > min_nd:
+                        shp = [d for d in t.ints.shape if d != 1]
+                        shp = shp + [1] * (min_nd - len(shp))
+                        t = TVal(t.ints.reshape(shp or (1,) * min_nd),
+                                 t.scale, t.span)
+                    fixed.append(t)
+                ins = fixed
                 scales = {t.scale for t in ins}
                 if len(scales) > 1:
                     tgt = max(scales)
@@ -443,6 +456,37 @@ class Model:
                 out = rebase(self._instancenorm(ctx, node, ins, align))
             elif op == "LayerNormalization":
                 out = rebase(self._layernorm(ctx, node, ins, align))
+            elif op == "Split":
+                src = ins[0]
+                axis = node.attrs.get("axis", 0) % src.ints.ndim
+                n_out = len(node.outputs)
+                if len(ins) > 1 and ins[1].ints.size:
+                    sizes = [int(v) for v in ins[1].ints.reshape(-1)]
+                elif node.attrs.get("split"):
+                    sizes = list(node.attrs["split"])
+                else:
+                    sizes = [src.shape[axis] // n_out] * n_out
+                grid = np.arange(src.ints.size).reshape(src.shape)
+                off = 0
+                outs = []
+                for sz in sizes:
+                    sl = [slice(None)] * src.ints.ndim
+                    sl[axis] = slice(off, off + sz)
+                    idx = grid[tuple(sl)]
+                    outs.append(ops.reindex(src, idx.reshape(-1), idx.shape))
+                    off += sz
+                for oname, otv in zip(node.outputs, outs):
+                    if oname:
+                        values[oname] = otv
+                out = outs[0]
+            elif op == "NonZero":
+                # data-dependent output shape: only constant inputs fold
+                # (tract concretizes these the same way, `model.rs:686-691`)
+                if ins[0].span is not None:
+                    raise NotImplementedError("NonZero on witness data "
+                                              "(dynamic output shape)")
+                nz = np.stack(np.nonzero(ins[0].ints))
+                out = TVal(nz.astype(np.int64), 0, None)
             elif op == "OneHot":
                 out = self._onehot(ctx, node, ins, align)
             elif op == "TopK":
@@ -460,6 +504,11 @@ class Model:
             else:
                 raise NotImplementedError(f"op {op} not yet supported")
             values[node.outputs[0]] = out
+            if os.environ.get("EZKL_TPU_DEBUG_NODES"):
+                # per-node witness trace (the reference's RegionCtx
+                # debug_report analog, `region.rs:242-257`)
+                print(f"[node] {op:16s} -> {node.outputs[0][:40]:40s} "
+                      f"scale={out.scale} vals={out.ints.reshape(-1)[:6]}")
 
         outputs = [values[o.name] for o in g.outputs]
         # place any output that is still a bare constant
@@ -538,7 +587,21 @@ class Model:
     def _pool(self, ctx, node, ins, rebase):
         ra = self.run_args
         x = ins[0]
-        if node.op_type == "GlobalAveragePool":
+        squeeze_w = False
+        if node.op_type != "GlobalAveragePool" \
+                and len(node.attrs.get("kernel_shape", [1, 1])) == 1:
+            # 1-D pool: run as (k, 1) over an added unit width axis
+            squeeze_w = True
+            x = TVal(x.ints.reshape(x.shape + (1,)), x.scale, x.span)
+            k1 = node.attrs["kernel_shape"][0]
+            s1 = node.attrs.get("strides", [1])[0]
+            p = node.attrs.get("pads", [0, 0])
+            kernel, strides = (k1, 1), (s1, 1)
+            pads = (p[0], 0, p[-1], 0)
+        elif node.op_type == "GlobalAveragePool":
+            if x.ints.ndim == 3:
+                squeeze_w = True
+                x = TVal(x.ints.reshape(x.shape + (1,)), x.scale, x.span)
             kernel = (x.shape[2], x.shape[3])
             strides = (1, 1)
             pads = (0, 0, 0, 0)
@@ -548,10 +611,15 @@ class Model:
             p = node.attrs.get("pads", [0, 0, 0, 0])
             pads = (p[0], p[1], p[2], p[3])
         if node.op_type == "MaxPool":
-            return ops.maxpool2d(ctx, x, kernel, strides, pads, ra.lookup_range)
-        s = ops.sumpool2d(ctx, x, kernel, strides, pads)
-        area = kernel[0] * kernel[1]
-        return ops.div_known(ctx, s, area, s.scale)
+            out = ops.maxpool2d(ctx, x, kernel, strides, pads, ra.lookup_range)
+        else:
+            s = ops.sumpool2d(ctx, x, kernel, strides, pads)
+            area = kernel[0] * kernel[1]
+            out = ops.div_known(ctx, s, area, s.scale)
+        if squeeze_w:
+            out = TVal(out.ints.reshape(out.ints.shape[:-1]), out.scale,
+                       out.span)
+        return out
 
     def _slice(self, ctx, node, ins, values):
         src = ins[0]
@@ -720,7 +788,7 @@ class Model:
     def _dynamic_gather(self, ctx, data: TVal, indices: TVal, axis: int) -> TVal:
         assert indices.scale == 0, "gather indices must be integer-typed"
         L = data.shape[axis]
-        if L > 256:
+        if L > 4096:
             raise NotImplementedError(f"dynamic Gather over axis of {L}")
         flat_idx = TVal(indices.ints.reshape(-1), 0, indices.span)
         n_idx = flat_idx.ints.size
@@ -750,7 +818,7 @@ class Model:
                              axis: int) -> TVal:
         assert indices.scale == 0
         L = data.shape[axis]
-        if L > 256:
+        if L > 4096:
             raise NotImplementedError(f"dynamic GatherElements over axis {L}")
         grid = np.arange(data.ints.size).reshape(data.shape)
         acc = None
@@ -798,7 +866,7 @@ class Model:
         d = indices.shape[-1]
         dims = data.shape[:d]
         L = int(np.prod(dims, dtype=np.int64))
-        if L > 256:
+        if L > 4096:
             raise NotImplementedError(f"dynamic GatherND over {L} slices")
         lin = self._linearize_nd_index(ctx, indices, dims)
         flat_data = TVal(data.ints.reshape((L,) + data.shape[d:]),
@@ -815,7 +883,7 @@ class Model:
         slice, as ONNX requires for deterministic ScatterElements)."""
         ra = self.run_args
         L = data.shape[axis]
-        if L > 256:
+        if L > 4096:
             raise NotImplementedError(f"dynamic ScatterElements over axis {L}")
         grid_u = np.arange(updates.ints.size).reshape(updates.shape)
         nupd = updates.shape[axis]
@@ -859,7 +927,7 @@ class Model:
         d = indices.shape[-1]
         dims = data.shape[:d]
         L = int(np.prod(dims, dtype=np.int64))
-        if L > 256:
+        if L > 4096:
             raise NotImplementedError(f"dynamic ScatterND over {L} slices")
         lin = self._linearize_nd_index(ctx, indices, dims) \
             if indices.span is not None else \

@@ -57,7 +57,7 @@ def run_one(name: str, check_mock=True):
     got = np.concatenate([np.asarray(o, np.float64).reshape(-1)
                           for o in w["pretty_elements"]["rescaled_outputs"]])
     err = None
-    if "output_data" in inp:
+    if inp.get("output_data") is not None:
         want = np.concatenate([np.asarray(o, np.float64).reshape(-1)
                                for o in inp["output_data"]])
         if want.size == got.size:
