@@ -7,7 +7,7 @@ Artifact files:
   settings.json    GraphSettings (run_args + sizing)
   model.compiled   compiled circuit (onnx bytes + settings, JSON/base64)
   witness.json     quantized inputs/outputs (field hex) + rescaled floats
-  pk.key / vk.key  pickled proving/verifying keys
+  pk.key / vk.key  stable no-pickle key formats (plonk/serde.py)
   proof.json       proof (points/evals/instances, hex JSON)
   kzg{k}.srs       SRS (see plonk/srs.py)
 """
@@ -17,7 +17,6 @@ from __future__ import annotations
 import base64
 import json
 import pathlib
-import pickle
 
 import numpy as np
 
@@ -27,6 +26,7 @@ from .graph.run_args import RunArgs
 from .graph import onnx_parser
 from .plonk import keygen as keygen_mod, prover as prover_mod, srs as srsmod
 from .plonk import mock as mock_mod, verifier as verifier_mod
+from .plonk import serde as serde_mod
 from .plonk.prover import Proof
 
 DEFAULT = {
@@ -171,8 +171,8 @@ def setup(compiled_path, input_path, srs_path=None, vk_path="vk.key",
     arrays = _reshape_for(gc, _load_input(input_path))
     s = _srs_for(gc, srs_path)
     pk, _ = gc.setup(arrays, s)
-    pathlib.Path(pk_path).write_bytes(pickle.dumps(pk))
-    pathlib.Path(vk_path).write_bytes(pickle.dumps(pk.vk))
+    serde_mod.save_pk(pk, pk_path)
+    serde_mod.save_vk(pk.vk, vk_path)
     return pk
 
 
@@ -192,7 +192,7 @@ def prove(compiled_path, input_path, pk_path="pk.key", srs_path=None,
     gc = load_compiled(compiled_path)
     arrays = _reshape_for(gc, _load_input(input_path))
     s = _srs_for(gc, srs_path)
-    pk = pickle.loads(pathlib.Path(pk_path).read_bytes())
+    pk = serde_mod.load_pk(pk_path)
     proof, _ = gc.prove(arrays, s, pk=pk)
     pathlib.Path(proof_path).write_text(proof.to_json())
     return proof
@@ -200,7 +200,7 @@ def prove(compiled_path, input_path, pk_path="pk.key", srs_path=None,
 
 def verify(proof_path="proof.json", vk_path="vk.key", srs_path=None,
            settings_path=None) -> bool:
-    vk = pickle.loads(pathlib.Path(vk_path).read_bytes())
+    vk = serde_mod.load_vk(vk_path)
     if srs_path and pathlib.Path(srs_path).exists():
         s = srsmod.load(srs_path)
     else:
@@ -227,8 +227,8 @@ def gen_random_data(model_path, output="input.json", seed=0):
 def gen_vk_from_pk(pk_path="pk.key", vk_path="vk.key"):
     """Extract the verifying key from a proving key (reference
     `gen_vk_from_pk_single`, bindings/python.rs:629)."""
-    pk = pickle.loads(pathlib.Path(pk_path).read_bytes())
-    pathlib.Path(vk_path).write_bytes(pickle.dumps(pk.vk))
+    pk = serde_mod.load_pk(pk_path)
+    serde_mod.save_vk(pk.vk, vk_path)
     return vk_path
 
 
@@ -249,7 +249,8 @@ def encode_evm_calldata(proof_path="proof.json", output="calldata.bin") -> bytes
 
     for group in (proof.advice_commitments, proof.lookup_m_commitments,
                   proof.perm_z_commitments, proof.lookup_phi_commitments,
-                  proof.h_commitments):
+                  proof.shuffle_z_commitments,
+                  [proof.random_commitment], proof.h_commitments):
         for p in group:
             pt(p)
     for label in sorted(proof.evals):

@@ -145,7 +145,11 @@ class GraphCircuit:
                 probe_k += 2
         table_rows = max(
             (info["inputs"].size for info in cfg.tables.values()), default=0)
-        need = max(ctx.row + 1, table_rows + 1,
+        # +BLINDING_FACTORS+1: the proof system reserves the closing row and
+        # the zero-knowledge blinding rows at the end of the domain
+        from ..plonk.cs import BLINDING_FACTORS
+        reserve = BLINDING_FACTORS + 1
+        need = max(ctx.row + reserve, table_rows + reserve,
                    len(ctx.instance_vals) + 1)
         min_k = max(MIN_LOGROWS, (need - 1).bit_length())
         k = logrows if logrows is not None else min_k

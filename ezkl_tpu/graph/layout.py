@@ -11,7 +11,8 @@ The TPU-native re-design of the reference's `BaseConfig` + `RegionCtx`
   whole index arrays.
 * Nonlinearities are logup lookups into per-function tables with a
   selector-gated default row (analog of `table.rs` SelectorConstructor).
-* Row n-1 is reserved by the proof system (blinding-free running args).
+* The last BLINDING_FACTORS+1 rows are reserved by the proof system for the
+  closing row + zero-knowledge blinding (`plonk/cs.py:last_active_row`).
 """
 
 from __future__ import annotations
@@ -120,7 +121,8 @@ class LayoutCtx:
         self.cfg = cfg
         self.k = k
         self.n = 1 << k
-        self.usable = self.n - 1
+        # rows [usable, n) are the proof system's closing + blinding rows
+        self.usable = csmod.last_active_row(self.n)
         self.row = 0
         self._cols: dict[tuple, np.ndarray] = {}
         # full-field values that don't fit int64 (e.g. Poseidon states):
@@ -161,11 +163,15 @@ class LayoutCtx:
         self._arr(self.cfg.sel[gate])[row0:row0 + size] = 1
 
     def copy_rows(self, col_a, rows_a, col_b, rows_b):
-        ra = np.asarray(rows_a).reshape(-1)
-        rb = np.asarray(rows_b).reshape(-1)
+        """Emit a batched copy constraint: col_a[rows_a[i]] == col_b[rows_b[i]].
+
+        Stored as whole index arrays (no per-cell Python tuples) — keygen
+        consumes them vectorized (`plonk/keygen.py:build_permutation_maps`)."""
+        ra = np.asarray(rows_a, np.int64).reshape(-1)
+        rb = np.asarray(rows_b, np.int64).reshape(-1)
         assert ra.size == rb.size
-        for x, y in zip(ra.tolist(), rb.tolist()):
-            self.copies.append(((col_a, int(x)), (col_b, int(y))))
+        if ra.size:
+            self.copies.append((col_a, ra, col_b, rb))
 
     # -- tensor materialization ----------------------------------------------
 
@@ -222,7 +228,12 @@ class LayoutCtx:
             t_in = np.full(self.n, info["d_in"], np.int64)
             t_out = np.full(self.n, info["d_out"], np.int64)
             L = info["inputs"].size
-            assert L <= self.n, f"table '{name}' larger than domain"
+            # the logup argument covers only the active rows [0, usable)
+            # (prover multiplicities scan [:a]), so a table must fit there —
+            # catch the off-by-one at layout time
+            assert L <= self.usable, (
+                f"table '{name}' ({L} rows) must fit in {self.usable} usable "
+                f"rows (k={self.k}); raise logrows")
             t_in[:L] = info["inputs"]
             t_out[:L] = info["outputs"]
             self._arr(info["t_in"])[:] = t_in

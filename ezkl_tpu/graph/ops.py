@@ -16,7 +16,8 @@ from __future__ import annotations
 import numpy as np
 
 from .layout import BaseConfig, LayoutCtx, Span, TVal
-from .quantize import quantize, dequantize, check_range
+from .quantize import (quantize, dequantize, check_range, checked_mul,
+                       checked_cumsum, checked_cumprod)
 
 
 def _broadcast_indices(shape, out_shape) -> np.ndarray:
@@ -47,7 +48,7 @@ def pairwise(ctx: LayoutCtx, kind: str, a: TVal, b: TVal) -> TVal:
         assert a.scale == b.scale, f"sub scale mismatch {a.scale} vs {b.scale}"
         out, scale = va - vb, a.scale
     elif kind == "mul":
-        out, scale = va * vb, a.scale + b.scale
+        out, scale = checked_mul(va, vb), a.scale + b.scale
     else:
         raise ValueError(kind)
     check_range(out)
@@ -76,12 +77,12 @@ def _accumulate(ctx: LayoutCtx, kind: str, idx_a, idx_b, a: TVal,
     va = ctx.stage_operand(a, cfg.a0, r, idx_a)
     if b is not None:
         vb = ctx.stage_operand(b, cfg.a1, r, idx_b)
-        prod = check_range(va * vb)
+        prod = checked_mul(va, vb)
     else:
         prod = va
-    acc = np.cumsum(prod.reshape(runs, run_len), axis=1).reshape(-1) \
+    acc = checked_cumsum(prod.reshape(runs, run_len), axis=1).reshape(-1) \
         if kind == "dot" or kind == "sum" else \
-        np.cumprod(prod.reshape(runs, run_len), axis=1).reshape(-1)
+        checked_cumprod(prod.reshape(runs, run_len), axis=1).reshape(-1)
     check_range(acc)
     ctx.write(cfg.a2, r, acc)
     init_rows = r + np.arange(runs) * run_len

@@ -38,3 +38,40 @@ def check_range(arr: np.ndarray, bits: int = 60):
             f"quantized magnitude {int(np.abs(arr).max())} exceeds 2^{bits}; "
             "lower the scales")
     return arr
+
+
+def checked_mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """int64 product with PRE-multiplication overflow guard.
+
+    Checking after the fact is unsound: two in-range operands can produce a
+    product that wraps mod 2^64 back into the accepted range. Bound the
+    operand magnitudes first (|a|max * |b|max < 2^62)."""
+    if a.size and b.size:
+        ma = int(np.abs(a).max())
+        mb = int(np.abs(b).max())
+        if ma and mb and ma * mb >= (1 << 62):
+            raise OverflowError(
+                f"product magnitude ~{ma}*{mb} would exceed 2^62; lower the "
+                "scales")
+    return a * b
+
+
+def checked_cumsum(x: np.ndarray, axis: int) -> np.ndarray:
+    """Cumulative sum with an overflow guard on intermediates (abs-sum bound
+    estimated in float64)."""
+    est = np.cumsum(np.abs(x).astype(np.float64), axis=axis)
+    if est.size and float(est.max()) >= float(1 << 62):
+        raise OverflowError(
+            "cumulative sum would exceed 2^62; lower the scales")
+    return np.cumsum(x, axis=axis)
+
+
+def checked_cumprod(x: np.ndarray, axis: int) -> np.ndarray:
+    """Cumulative product with an overflow guard on the INTERMEDIATE values
+    (estimated in float64 — an int64 cumprod can wrap mid-run and land back
+    in range)."""
+    est = np.cumprod(np.abs(x).astype(np.float64), axis=axis)
+    if est.size and float(est.max()) >= float(1 << 62):
+        raise OverflowError(
+            "cumulative product would exceed 2^62; lower the scales")
+    return np.cumprod(x, axis=axis)

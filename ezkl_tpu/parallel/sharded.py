@@ -66,10 +66,8 @@ def msm_sharded(mesh: Mesh, points: PointP, scalars: jnp.ndarray,
         gathered = jax.tree.map(
             lambda a: jnp.moveaxis(jax.lax.all_gather(a, AXIS), 0, -1), local
         )                                                      # (16, D)
-        acc = jax.tree.map(lambda a: a[..., 0], gathered)
-        for i in range(1, d):
-            acc = curve.add(acc, jax.tree.map(lambda a, i=i: a[..., i], gathered))
-        return acc
+        # fold the D partials with a scan (one add in the compiled body)
+        return msmmod.fold_points(gathered)
 
     return run(points, scalars)
 

@@ -37,7 +37,7 @@ class Assignment:
     fixed: np.ndarray            # (num_fixed, 16, n) raw limbs
     advice: np.ndarray           # (num_advice, 16, n) raw limbs
     instance: list[list[int]]    # host ints per instance column
-    copies: list[tuple]          # ((col, row), (col, row))
+    copies: list[tuple]          # batches (col_a, rows_a[np], col_b, rows_b[np])
     # phase-1 witness callback: challenges {idx: int} ->
     #   {advice_col_index: list[int] field values (length n)}
     phase_callback: object = None
@@ -91,7 +91,8 @@ class Assignment:
         self.instance[col.index] = [int(v) % FR.modulus for v in values]
 
     def copy(self, a: Column, arow: int, b: Column, brow: int):
-        self.copies.append(((a, arow), (b, brow)))
+        self.copies.append((a, np.asarray([arow], np.int64),
+                            b, np.asarray([brow], np.int64)))
 
     # -- reads (host ints, for debugging / instance prep) ---------------------
 

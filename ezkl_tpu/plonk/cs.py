@@ -21,6 +21,21 @@ from typing import Callable
 
 FIXED, ADVICE, INSTANCE = "fixed", "advice", "instance"
 
+# Zero-knowledge blinding: the last BLINDING_FACTORS rows of every advice /
+# permutation-Z / lookup-phi polynomial hold fresh randomness, and row
+# n - BLINDING_FACTORS - 1 is the closing ("last active") row for the
+# running arguments. Usable layout rows are [0, n - BLINDING_FACTORS - 1).
+# Mirrors the reference's ASSUMED_BLINDING_FACTORS
+# (`/root/reference/src/graph/mod.rs:100`) sized to cover each poly's
+# opened evaluations plus its commitment.
+BLINDING_FACTORS = 6
+
+
+def last_active_row(n: int) -> int:
+    """Index of the closing row `a`: running arguments hold on [0, a),
+    boundary constraints bind at a, rows (a, n) are random blinding."""
+    return n - BLINDING_FACTORS - 1
+
 
 @dataclasses.dataclass(frozen=True)
 class Column:
@@ -186,6 +201,20 @@ class Lookup:
 
 
 @dataclasses.dataclass
+class Shuffle:
+    """Multiset-equality (shuffle) argument: the theta-compressed `input`
+    tuples over the active rows are a permutation of the compressed `table`
+    tuples. Grand product z_{i+1} = z_i * (A_i + gamma)/(B_i + gamma) with
+    z_0 = z_a = 1. TPU-native analog of the reference's
+    `configure_shuffles` (`/root/reference/src/circuit/ops/chip.rs:739-833`,
+    consumed by `layouts.rs:1624`)."""
+
+    name: str
+    input: tuple   # expressions (A side)
+    table: tuple   # expressions (B side)
+
+
+@dataclasses.dataclass
 class ConstraintSystem:
     num_fixed: int = 0
     num_advice: int = 0
@@ -193,6 +222,7 @@ class ConstraintSystem:
     advice_phase: list[int] = dataclasses.field(default_factory=list)
     gates: list[Gate] = dataclasses.field(default_factory=list)
     lookups: list[Lookup] = dataclasses.field(default_factory=list)
+    shuffles: list["Shuffle"] = dataclasses.field(default_factory=list)
     perm_columns: list[Column] = dataclasses.field(default_factory=list)
     num_challenges: int = 0
 
@@ -225,6 +255,9 @@ class ConstraintSystem:
     def add_lookup(self, name: str, inputs: list[tuple], table: tuple):
         self.lookups.append(Lookup(name, [tuple(t) for t in inputs], tuple(table)))
 
+    def add_shuffle(self, name: str, input: tuple, table: tuple):
+        self.shuffles.append(Shuffle(name, tuple(input), tuple(table)))
+
     def enable_equality(self, column: Column):
         if column not in self.perm_columns:
             self.perm_columns.append(column)
@@ -240,6 +273,11 @@ class ConstraintSystem:
             t_deg = max(e.degree() for e in lk.table)
             # (phi(wX)-phi(X)) * prod(f_k+beta) * (t+beta) + ...
             deg = max(deg, 1 + in_deg * len(lk.inputs) + t_deg, 2 + in_deg * len(lk.inputs))
+        for sh in self.shuffles:
+            d = max(max(e.degree() for e in sh.input),
+                    max(e.degree() for e in sh.table))
+            # not_last * (z_w*(B+g) - z*(A+g))
+            deg = max(deg, 2 + d)
         if self.perm_columns:
             deg = max(deg, 2 + self.perm_chunk_size())
         return max(deg, 2)
@@ -264,6 +302,10 @@ class ConstraintSystem:
                     for q in e.queries():
                         add(q)
             for e in lk.table:
+                for q in e.queries():
+                    add(q)
+        for sh in self.shuffles:
+            for e in tuple(sh.input) + tuple(sh.table):
                 for q in e.queries():
                     add(q)
         # every permutation column is opened at rotation 0

@@ -36,27 +36,55 @@ DELTA = pow(FR.generator, 1 << FR.two_adicity, FR.modulus)
 def build_permutation_maps(cs: ConstraintSystem, k: int, copies) -> np.ndarray:
     """-> int32 (m, n, 2): sigma as (column_chunk_index j', row i') per cell.
 
-    Cycle construction: start with identity; for each copy (a, b), splice
-    the cycles by swapping next-pointers (standard PLONK construction).
+    Equality classes are computed as connected components of the copy graph
+    (union-find semantics — immune to the classic swap-trick's same-cycle
+    splitting hazard), then each class becomes one sigma cycle. Fully
+    vectorized: copies arrive as whole index-array batches
+    (`graph/layout.py:copy_rows`), components via scipy csgraph, cycle
+    next-pointers by a per-segment roll. Replaces halo2's per-cell
+    permutation Assembly (reference `src/pfsys/mod.rs:376-400` keygen path).
     """
     n = 1 << k
     col_of = {c: j for j, c in enumerate(cs.perm_columns)}
     m = len(cs.perm_columns)
-    nxt = np.zeros((m, n, 2), dtype=np.int32)
-    nxt[..., 0] = np.arange(m, dtype=np.int32)[:, None]
-    nxt[..., 1] = np.arange(n, dtype=np.int32)[None, :]
-    # classic swap: to merge cycles of a and b, swap next[a] and next[b]
-    seen_pairs = set()
-    for (ca, ra), (cb, rb) in copies:
-        a = (col_of[ca], ra)
-        b = (col_of[cb], rb)
-        if a == b or (a, b) in seen_pairs:
-            continue
-        seen_pairs.add((a, b))
-        tmp = nxt[a[0], a[1]].copy()
-        nxt[a[0], a[1]] = nxt[b[0], b[1]]
-        nxt[b[0], b[1]] = tmp
-    return nxt
+    maps = np.zeros((m, n, 2), dtype=np.int32)
+    maps[..., 0] = np.arange(m, dtype=np.int32)[:, None]
+    maps[..., 1] = np.arange(n, dtype=np.int32)[None, :]
+    if not copies:
+        return maps
+
+    ea, eb = [], []
+    for ca, ra, cb, rb in copies:
+        ea.append(np.asarray(ra, np.int64) + col_of[ca] * n)
+        eb.append(np.asarray(rb, np.int64) + col_of[cb] * n)
+    a = np.concatenate(ea)
+    b = np.concatenate(eb)
+    keep = a != b
+    a, b = a[keep], b[keep]
+    if a.size == 0:
+        return maps
+
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    cells = np.unique(np.concatenate([a, b]))      # sorted linear ids j*n+i
+    ia = np.searchsorted(cells, a)
+    ib = np.searchsorted(cells, b)
+    g = coo_matrix((np.ones(ia.size, np.int8), (ia, ib)),
+                   shape=(cells.size, cells.size))
+    _, labels = connected_components(g, directed=False)
+
+    order = np.argsort(labels, kind="stable")
+    sc = cells[order]                               # cells grouped by class
+    sl = labels[order]
+    nxt = np.roll(sc, -1)
+    starts = np.flatnonzero(np.r_[True, sl[1:] != sl[:-1]])
+    ends = np.r_[starts[1:], sl.size] - 1
+    nxt[ends] = sc[starts]                          # close each cycle
+
+    maps[sc // n, sc % n, 0] = (nxt // n).astype(np.int32)
+    maps[sc // n, sc % n, 1] = (nxt % n).astype(np.int32)
+    return maps
 
 
 def sigma_evals(maps: np.ndarray, k: int) -> jnp.ndarray:
@@ -85,7 +113,8 @@ class VerifyingKey:
     def transcript_repr(self) -> bytes:
         h = hashlib.blake2b(digest_size=32)
         h.update(f"k={self.k};nf={self.cs.num_fixed};na={self.cs.num_advice};"
-                 f"ni={self.cs.num_instance};g={len(self.cs.gates)}".encode())
+                 f"ni={self.cs.num_instance};g={len(self.cs.gates)};"
+                 f"lk={len(self.cs.lookups)};sh={len(self.cs.shuffles)}".encode())
         for pt in self.fixed_commitments + self.sigma_commitments:
             if pt is None:
                 h.update(b"\x00" * 64)

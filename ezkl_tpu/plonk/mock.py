@@ -16,6 +16,7 @@ import jax
 from ..fieldmath import limbs
 from ..fieldmath.spec import bn254_fr
 from .assign import Assignment
+from . import cs as csmod
 from .cs import FIXED, ADVICE, INSTANCE
 from .evaluator import EvalCtx, evaluate
 
@@ -62,36 +63,64 @@ def verify(asg: Assignment, challenges: dict | None = None) -> list[Failure]:
         if rows.size:
             failures.append(Failure("gate", g.name, rows.tolist()))
 
-    # copy constraints by value
-    for (a, ar), (b, br) in asg.copies:
-        va, vb = asg.get_int(a, ar), asg.get_int(b, br)
-        if va != vb:
-            failures.append(Failure("copy", f"{a}@{ar} == {b}@{br} ({va} != {vb})", [ar, br]))
+    # copy constraints by value — whole index-array batches at once
+    raw_of = _raw_columns(asg)
+    for a, ra, b, rb in asg.copies:
+        va = raw_of(a)[:, ra]                      # (16, K) raw limbs
+        vb = raw_of(b)[:, rb]
+        bad = np.flatnonzero(~np.all(va == vb, axis=0))
+        for i in bad[:16]:
+            failures.append(Failure(
+                "copy", f"{a}@{int(ra[i])} == {b}@{int(rb[i])}",
+                [int(ra[i]), int(rb[i])]))
 
-    # lookups by value (compress tuples to python tuples)
+    # lookups by value: pack (tuple of field elements) per row into
+    # structured u64 rows, then one vectorized sorted-membership test
     for lk in cs.lookups:
-        table_rows = set()
-        tvals = [_host_evals(e, asg, ch) for e in lk.table]
-        for i in range(asg.n):
-            table_rows.add(tuple(t[i] for t in tvals))
+        t_pack = np.sort(limbs.pack_rows_multi(
+            [_raw_evals(e, ctx) for e in lk.table]))
         bad_rows = []
         for tup in lk.inputs:
-            ivals = [_host_evals(e, asg, ch) for e in tup]
-            for i in range(asg.n):
-                if tuple(v[i] for v in ivals) not in table_rows:
-                    bad_rows.append(i)
+            f_pack = limbs.pack_rows_multi([_raw_evals(e, ctx) for e in tup])
+            pos = np.searchsorted(t_pack, f_pack)
+            pos_c = np.minimum(pos, t_pack.size - 1)
+            ok = t_pack[pos_c] == f_pack
+            bad_rows.extend(np.flatnonzero(~ok).tolist())
         if bad_rows:
             failures.append(Failure("lookup", lk.name, bad_rows))
+
+    # shuffles: multiset equality of compressed tuples over active rows
+    # (rows >= last_active_row are reserved for closing/blinding and hold
+    # zeros on both sides at layout time)
+    act = csmod.last_active_row(asg.n)
+    for sh in cs.shuffles:
+        a_pack = limbs.pack_rows_multi(
+            [_raw_evals(e, ctx)[:, :act] for e in sh.input])
+        b_pack = limbs.pack_rows_multi(
+            [_raw_evals(e, ctx)[:, :act] for e in sh.table])
+        if not np.array_equal(np.sort(a_pack), np.sort(b_pack)):
+            bad = np.flatnonzero(np.sort(a_pack) != np.sort(b_pack))
+            failures.append(Failure("shuffle", sh.name, bad.tolist()[:16]))
 
     return failures
 
 
-def _host_evals(expr, asg: Assignment, ch) -> list[int]:
-    cols = {
-        FIXED: asg.device_columns(FIXED),
-        ADVICE: asg.device_columns(ADVICE),
-        INSTANCE: asg.instance_device(),
-    }
-    ctx = EvalCtx(columns=cols, rot_step=1, challenges=ch)
-    v = jax.jit(lambda: evaluate(expr, ctx))()
-    return [int(x) for x in limbs.decode(FR, v)]
+def _raw_columns(asg: Assignment):
+    """Returns col -> (16, n) RAW limb array (instances padded with zeros)."""
+    inst = np.zeros((asg.cs.num_instance, 16, asg.n), np.uint32)
+    for i, vals in enumerate(asg.instance):
+        if vals:
+            inst[i][:, :len(vals)] = limbs.encode(FR, vals, mont=False)
+
+    def get(col):
+        if col.kind == INSTANCE:
+            return inst[col.index]
+        return (asg.fixed if col.kind == FIXED else asg.advice)[col.index]
+
+    return get
+
+
+def _raw_evals(expr, ctx) -> np.ndarray:
+    """Evaluate an expression over the domain -> (16, n) RAW limbs (host)."""
+    v = jax.jit(lambda: limbs.from_mont(FR, evaluate(expr, ctx)))()
+    return np.asarray(v)

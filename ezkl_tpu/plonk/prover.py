@@ -8,11 +8,19 @@ Protocol (own verifier; see `verifier.py`):
  2. per advice phase: commit advice columns, absorb, squeeze phase challenges
  3. theta; lookup multiplicities m committed
  4. beta, gamma; permutation Z chunks + lookup grand-sum phi committed
- 5. y; quotient h computed over the extended coset, split, committed
+ 5. random poly committed; y; quotient h over the extended coset, split,
+    committed
  6. x; all query evaluations absorbed
  7. GWC multiopen: v (intra-point RLC), one witness commitment per point, u
-Row n-1 is reserved (running constraints masked by (1 - l_last)); circuits
-must keep their last row empty.
+
+Zero-knowledge: with a = n - BLINDING_FACTORS - 1 (`cs.last_active_row`),
+rows (a, n) of every advice / permutation-Z / lookup-phi / lookup-m column
+hold fresh randomness; running constraints are masked to rows [0, a);
+boundary constraints bind at row a; a committed random polynomial joins the
+x-point opening batch (halo2's vanishing-argument random_poly,
+`/root/reference/src/graph/mod.rs:100` ASSUMED_BLINDING_FACTORS analog).
+Deterministic proofs for testing: pass `seed=` or set EZKL_TPU_DET_SEED
+(reference det-prove feature, `src/pfsys/mod.rs:436-439`).
 
 Compilation model: all device work is grouped into FIVE jitted stage
 functions built once per ProvingKey (cached on the pk object). Fiat-Shamir
@@ -37,7 +45,8 @@ from ..fieldmath.spec import bn254_fr, NLIMBS
 from ..kernels import ntt as nttmod
 from . import kzg
 from .assign import Assignment
-from .cs import ConstraintSystem, FIXED, ADVICE, INSTANCE, Query
+from .cs import (ConstraintSystem, FIXED, ADVICE, INSTANCE, Query,
+                 BLINDING_FACTORS, last_active_row)
 from .domain import Domain
 from .evaluator import EvalCtx, evaluate
 from .keygen import ProvingKey, DELTA
@@ -63,6 +72,8 @@ class Proof:
     lookup_m_commitments: list
     perm_z_commitments: list
     lookup_phi_commitments: list
+    shuffle_z_commitments: list
+    random_commitment: object   # blinding poly commitment (host affine)
     h_commitments: list
     evals: dict                 # label -> int
     opening_commitments: list   # one per distinct point
@@ -79,6 +90,8 @@ class Proof:
             "lookup_m": [pt(p) for p in self.lookup_m_commitments],
             "perm_z": [pt(p) for p in self.perm_z_commitments],
             "lookup_phi": [pt(p) for p in self.lookup_phi_commitments],
+            "shuffle_z": [pt(p) for p in self.shuffle_z_commitments],
+            "random": pt(self.random_commitment),
             "h": [pt(p) for p in self.h_commitments],
             "evals": {k: hex(v) for k, v in self.evals.items()},
             "openings": [pt(p) for p in self.opening_commitments],
@@ -99,6 +112,8 @@ class Proof:
             lookup_m_commitments=[pt(p) for p in d["lookup_m"]],
             perm_z_commitments=[pt(p) for p in d["perm_z"]],
             lookup_phi_commitments=[pt(p) for p in d["lookup_phi"]],
+            shuffle_z_commitments=[pt(p) for p in d.get("shuffle_z", [])],
+            random_commitment=pt(d["random"]),
             h_commitments=[pt(p) for p in d["h"]],
             evals={k: int(v, 16) for k, v in d["evals"].items()},
             opening_commitments=[pt(p) for p in d["openings"]],
@@ -112,19 +127,19 @@ class Proof:
 
 def _running_sum(v):
     """Exclusive prefix sum along last axis (field add)."""
-    incl = jax.lax.associative_scan(lambda a, b: limbs.add(FR, a, b), v, axis=v.ndim - 1)
+    incl = limbs.prefix_scan_add(FR, v)
     z = jnp.zeros(v.shape[:-1] + (1,), v.dtype)
     return jnp.concatenate([z, incl[..., :-1]], axis=-1)
 
 
 def _running_product(v):
     """Exclusive prefix product along last axis (starts at 1)."""
-    incl = jax.lax.associative_scan(lambda a, b: limbs.mont_mul(FR, a, b), v, axis=v.ndim - 1)
+    incl = limbs.prefix_scan_mul(FR, v)
     one = limbs.ones_mont(FR, v.shape[1:-1] + (1,))
     return jnp.concatenate([one, incl[..., :-1]], axis=-1)
 
 
-@functools.lru_cache(maxsize=64)
+@functools.lru_cache(maxsize=256)
 def _lagrange_basis_ext(dom: Domain, index: int) -> jnp.ndarray:
     """l_index evaluated over the extended coset (16, n_ext)."""
     e = np.zeros((NLIMBS, dom.n), np.uint32)
@@ -173,7 +188,7 @@ class ProverKernels:
         m_perm = len(cs.perm_columns)
         chunk = cs.perm_chunk_size()
         chunks = [list(range(i, min(i + chunk, m_perm)))
-                  for i in range(0, m_perm, chunk)]
+                  for i in range(0, m_perm, chunk)] if chunk else []
         self.cs, self.dom, self.chunks = cs, dom, chunks
         num_ch = cs.num_challenges
 
@@ -184,10 +199,17 @@ class ProverKernels:
                 limbs.jitted(FR).powers(dom.omega_ext, ext),
                 jnp.broadcast_to(limbs.const(FR, FR.generator)[:, None],
                                  (NLIMBS, ext)))
+        a = last_active_row(n)
+        self.a = a
         l0_ext = _lagrange_basis_ext(dom, 0)
-        llast_ext = _lagrange_basis_ext(dom, n - 1)
+        llast_ext = _lagrange_basis_ext(dom, a)       # closing row basis
         one_ext = limbs.ones_mont(FR, (ext,))
-        not_last = limbs.jitted(FR).sub(one_ext, llast_ext)
+        # not_active = 1 - sum_{i in [a, n)} l_i: masks the running
+        # constraints off the closing + blinding rows
+        blind_sum = llast_ext
+        for i in range(a + 1, n):
+            blind_sum = limbs.jitted(FR).add(blind_sum, _lagrange_basis_ext(dom, i))
+        not_last = limbs.jitted(FR).sub(one_ext, blind_sum)
         sigma_l = pk.sigma_lagrange
 
         def ctx_of(cols, rot_step, ch_list):
@@ -202,7 +224,7 @@ class ProverKernels:
                     FR, limbs.mont_mul(FR, acc, _bcast(theta, v.shape)), v)
             return acc
 
-        # ---- stage A: lookup compression over H -------------------------
+        # ---- stage A: lookup + shuffle compression over H ----------------
         def stage_compress(advice_l, fixed_l, instance_l, theta, *ch):
             cols = {FIXED: fixed_l, ADVICE: advice_l, INSTANCE: instance_l}
             ctx = ctx_of(cols, 1, ch)
@@ -210,13 +232,17 @@ class ProverKernels:
             for lk in cs.lookups:
                 fs_all.append([compress(tup, ctx, theta) for tup in lk.inputs])
                 t_all.append(compress(lk.table, ctx, theta))
-            return fs_all, t_all
+            sh_in_all, sh_t_all = [], []
+            for sh in cs.shuffles:
+                sh_in_all.append(compress(sh.input, ctx, theta))
+                sh_t_all.append(compress(sh.table, ctx, theta))
+            return fs_all, t_all, sh_in_all, sh_t_all
 
         self.stage_compress = jax.jit(stage_compress)
 
-        # ---- stage B: permutation Z + lookup phi ------------------------
+        # ---- stage B: permutation Z + lookup phi + shuffle Z -------------
         def stage_zphi(advice_l, fixed_l, instance_l, beta, gamma,
-                       fs_all, t_all, m_all):
+                       fs_all, t_all, m_all, sh_in_all, sh_t_all):
             cols = {FIXED: fixed_l, ADVICE: advice_l, INSTANCE: instance_l}
             bb = beta[:, None]
             gg = gamma[:, None]
@@ -232,19 +258,20 @@ class ProverKernels:
                 for j in cset:
                     v = col_vals(j)
                     idj = limbs.mont_mul(FR, dpow[:, j][:, None], wpow)
-                    a = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                    fa = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
                         FR, jnp.broadcast_to(bb, idj.shape), idj)), gg)
-                    b = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                    fb = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
                         FR, jnp.broadcast_to(bb, v.shape), sigma_l[j])), gg)
-                    num = a if num is None else limbs.mont_mul(FR, num, a)
-                    den = b if den is None else limbs.mont_mul(FR, den, b)
+                    num = fa if num is None else limbs.mont_mul(FR, num, fa)
+                    den = fb if den is None else limbs.mont_mul(FR, den, fb)
                 ratio = limbs.mont_mul(FR, num, limbs.batch_inv(FR, den))
                 z = _running_product(ratio)
                 z = limbs.mont_mul(FR, z, jnp.broadcast_to(carry[:, None], z.shape))
-                carry = z[..., n - 1]
+                carry = z[..., a]        # closing row (blind rows follow)
                 z_list.append(z)
 
             phi_list = []
+            active = jnp.arange(n) < a
             for fs, t, m_dev in zip(fs_all, t_all, m_all):
                 inv_f = [limbs.batch_inv(FR, limbs.add(FR, f, bb)) for f in fs]
                 inv_t = limbs.batch_inv(FR, limbs.add(FR, t, bb))
@@ -252,10 +279,21 @@ class ProverKernels:
                 for invf in inv_f:
                     term = invf if term is None else limbs.add(FR, term, invf)
                 term = limbs.sub(FR, term, limbs.mont_mul(FR, m_dev, inv_t))
-                mask = jnp.ones((n,), dtype=bool).at[n - 1].set(False)
-                term = limbs.select(mask, term, jnp.zeros_like(term))
+                term = limbs.select(active, term, jnp.zeros_like(term))
                 phi_list.append(_running_sum(term))
-            return z_list, phi_list
+
+            shz_list = []
+            for sa, sb in zip(sh_in_all, sh_t_all):
+                num = limbs.add(FR, sa, gg)
+                den = limbs.add(FR, sb, gg)
+                # blind-row factors forced to 1 so z[a] is the active-row
+                # product (A/B tails are blinded advice)
+                one_col = limbs.ones_mont(FR, (n,))
+                num = limbs.select(active, num, one_col)
+                den = limbs.select(active, den, one_col)
+                ratio = limbs.mont_mul(FR, num, limbs.batch_inv(FR, den))
+                shz_list.append(_running_product(ratio))
+            return z_list, phi_list, shz_list
 
         self.stage_zphi = jax.jit(stage_zphi)
 
@@ -274,7 +312,8 @@ class ProverKernels:
 
         _to_ext_jit = jax.jit(to_ext)
 
-        def stage_to_ext(advice_l, fixed_l, instance_l, z_list, phi_list, m_all):
+        def stage_to_ext(advice_l, fixed_l, instance_l, z_list, phi_list,
+                         m_all, shz_list):
             # separate jit invocations per stack — one fused graph here is
             # too much for the XLA CPU compiler at k >= 11
             cols_ext = {
@@ -286,7 +325,8 @@ class ProverKernels:
             z_ext = [_to_ext_jit(z) for z in z_list]
             phi_ext = [_to_ext_jit(p) for p in phi_list]
             m_ext = [_to_ext_jit(m) for m in m_all]
-            return cols_ext, sig_ext, z_ext, phi_ext, m_ext
+            shz_ext = [_to_ext_jit(z) for z in shz_list]
+            return cols_ext, sig_ext, z_ext, phi_ext, m_ext, shz_ext
 
         self.stage_to_ext = stage_to_ext
 
@@ -296,11 +336,13 @@ class ProverKernels:
                              + ([("perm_last", ci)] if ci == len(chunks) - 1 else [])
                              for ci in range(len(chunks))), [])
                       + sum([[("lk_run", li), ("lk_l0", li), ("lk_last", li)]
-                             for li in range(len(cs.lookups))], []))
+                             for li in range(len(cs.lookups))], [])
+                      + sum([[("sh_run", si), ("sh_l0", si), ("sh_last", si)]
+                             for si in range(len(cs.shuffles))], []))
         self.num_terms = len(term_descs)
 
         def build_term(desc, cols_ext, sig_ext, z_ext, phi_ext, m_ext,
-                       theta, beta, gamma, ch):
+                       shz_ext, theta, beta, gamma, ch):
             kind, idx = desc
             bb = beta[:, None]
             gg = gamma[:, None]
@@ -329,11 +371,26 @@ class ProverKernels:
                 z_e = z_ext[idx]
                 if idx == 0:
                     return limbs.mont_mul(FR, l0_ext, limbs.sub(FR, z_e, one_ext))
-                prev_last = jnp.roll(z_ext[idx - 1], step, axis=-1)
+                # carry constraint: z_i(0) == z_{i-1}(closing row a), i.e.
+                # query the previous chunk at rotation +a
+                prev_last = jnp.roll(z_ext[idx - 1], -(a * step) % ext, axis=-1)
                 return limbs.mont_mul(FR, l0_ext, limbs.sub(FR, z_e, prev_last))
             if kind == "perm_last":
                 return limbs.mont_mul(FR, llast_ext,
                                       limbs.sub(FR, z_ext[idx], one_ext))
+            if kind in ("sh_run", "sh_l0", "sh_last"):
+                sh = cs.shuffles[idx]
+                z_e = shz_ext[idx]
+                if kind == "sh_l0":
+                    return limbs.mont_mul(FR, l0_ext, limbs.sub(FR, z_e, one_ext))
+                if kind == "sh_last":
+                    return limbs.mont_mul(FR, llast_ext, limbs.sub(FR, z_e, one_ext))
+                a_e = limbs.add(FR, compress(sh.input, ctx, theta), gg)
+                b_e = limbs.add(FR, compress(sh.table, ctx, theta), gg)
+                z_next = jnp.roll(z_e, -step, axis=-1)
+                running = limbs.sub(FR, limbs.mont_mul(FR, z_next, b_e),
+                                    limbs.mont_mul(FR, z_e, a_e))
+                return limbs.mont_mul(FR, not_last, running)
             lk = cs.lookups[idx]
             phi_e = phi_ext[idx]
             if kind == "lk_l0":
@@ -371,10 +428,10 @@ class ProverKernels:
         for lo in range(0, len(term_descs), TERM_CHUNK):
             descs = term_descs[lo:lo + TERM_CHUNK]
 
-            def chunk_fn(cols_ext, sig_ext, z_ext, phi_ext, m_ext,
+            def chunk_fn(cols_ext, sig_ext, z_ext, phi_ext, m_ext, shz_ext,
                          theta, beta, gamma, ch, _descs=descs):
                 return [build_term(d, cols_ext, sig_ext, z_ext, phi_ext,
-                                   m_ext, theta, beta, gamma, ch)
+                                   m_ext, shz_ext, theta, beta, gamma, ch)
                         for d in _descs]
 
             self._term_jits.append(jax.jit(chunk_fn))
@@ -402,9 +459,9 @@ class ProverKernels:
         self.stage_combine = jax.jit(stage_combine)
 
         def stage_quotient(advice_l, fixed_l, instance_l, theta, beta, gamma,
-                           y, z_list, phi_list, m_all, *ch):
+                           y, z_list, phi_list, m_all, shz_list, *ch):
             exts = self.stage_to_ext(advice_l, fixed_l, instance_l,
-                                     z_list, phi_list, m_all)
+                                     z_list, phi_list, m_all, shz_list)
             terms = []
             for fn in self._term_jits:
                 terms.extend(fn(*exts, theta, beta, gamma, list(ch)))
@@ -454,8 +511,33 @@ def _kernels(pk: ProvingKey) -> ProverKernels:
 # the prover
 # ---------------------------------------------------------------------------
 
+def _rng_for_proof(seed: int | None) -> np.random.Generator:
+    if seed is None:
+        env = _os.environ.get("EZKL_TPU_DET_SEED")
+        if env is not None:
+            seed = int(env)
+    if seed is None:
+        seed = int.from_bytes(_os.urandom(16), "little")
+    return np.random.default_rng(seed)
+
+
+def _random_mont(rng: np.random.Generator, shape) -> jnp.ndarray:
+    """Fresh blinding field elements as device Montgomery limbs.
+
+    Raw values are < 2^253 (top limb masked) — statistically negligible bias
+    against uniform over Fr; plenty for hiding."""
+    raw = rng.integers(0, 1 << 16, size=(NLIMBS,) + tuple(shape),
+                       dtype=np.int64).astype(np.uint32)
+    raw[NLIMBS - 1] &= 0x1FFF
+    return _to_mont_jit(jnp.asarray(raw))
+
+
+_to_mont_jit = jax.jit(lambda v: limbs.to_mont(FR, v))
+
+
 def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
-                 transcript: Transcript | None = None) -> Proof:
+                 transcript: Transcript | None = None,
+                 seed: int | None = None) -> Proof:
     cs = pk.vk.cs
     dom = pk.vk.domain
     k, n, p = pk.vk.k, dom.n, FR.modulus
@@ -463,6 +545,17 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     kern = _kernels(pk)
     chunks = kern.chunks
     m_perm = len(cs.perm_columns)
+    a = kern.a
+    rng = _rng_for_proof(seed)
+
+    def blind_tail(cols):
+        """Randomize rows (a, n) of a (..., 16, n) Montgomery column stack."""
+        nb = n - a - 1
+        r = _random_mont(rng, cols.shape[:-2] + (nb,))
+        if cols.ndim == 3:
+            r = jnp.moveaxis(r, 1, 0)         # (C, 16, nb)
+            return cols.at[:, :, a + 1:].set(r)
+        return cols.at[:, a + 1:].set(r)
 
     _span("phase1: bind vk+instances")
     tr.common_bytes(pk.vk.transcript_repr())
@@ -475,7 +568,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     p0_cols = [i for i in range(cs.num_advice) if phases[i] == 0]
     p1_cols = [i for i in range(cs.num_advice) if phases[i] != 0]
 
-    advice_l = asg.device_columns(ADVICE)            # (na, 16, n) mont
+    advice_l = blind_tail(asg.device_columns(ADVICE))  # (na, 16, n) mont
     advice_comms: dict[int, object] = {}
     for i in p0_cols:
         c = decode_point_host(kzg.commit_lagrange(srs, advice_l[i]))
@@ -485,7 +578,10 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     ch_dev = [limbs.const(FR, v) for v in challenges]
     if p1_cols:
         asg.apply_phase1({i: v for i, v in enumerate(challenges)})
-        advice_l = asg.device_columns(ADVICE)        # refresh with phase-1
+        refreshed = blind_tail(asg.device_columns(ADVICE))
+        # keep the already-committed phase-0 blinding rows byte-identical
+        keep = jnp.asarray([phases[i] == 0 for i in range(cs.num_advice)])
+        advice_l = jnp.where(keep[:, None, None], advice_l, refreshed)
         for i in p1_cols:
             c = decode_point_host(kzg.commit_lagrange(srs, advice_l[i]))
             advice_comms[i] = c
@@ -498,29 +594,33 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     _span("phase3: lookups m")
     theta = tr.challenge()
     theta_dev = limbs.const(FR, theta)
-    fs_all, t_all = kern.stage_compress(advice_l, fixed_l, instance_l,
-                                        theta_dev, *ch_dev)
+    fs_all, t_all, sh_in_all, sh_t_all = kern.stage_compress(
+        advice_l, fixed_l, instance_l, theta_dev, *ch_dev)
     m_all, m_comms = [], []
+    _from_mont = jax.jit(functools.partial(limbs.from_mont, FR))
     for lk, fs, t in zip(cs.lookups, fs_all, t_all):
-        t_ints = [int(x) for x in limbs.decode(FR, t)]
-        counts = defaultdict(int)
-        for f in fs:
-            for x in limbs.decode(FR, f)[:n - 1]:
-                counts[int(x)] += 1
-        first_row = {}
-        for i, tv in enumerate(t_ints[:n - 1]):
-            if tv not in first_row:
-                first_row[tv] = i
-        m_host = [0] * n
-        missing = 0
-        for val, cnt in counts.items():
-            if val in first_row:
-                m_host[first_row[val]] += cnt
-            else:
-                missing += 1
-        if missing:
-            raise ValueError(f"lookup '{lk.name}': {missing} input values not in table")
-        m_dev = jnp.asarray(limbs.encode(FR, m_host))
+        # vectorized multiplicity counting: pack field elements into
+        # structured u64 rows, sorted-match inputs against the table, count
+        # per first-occurrence table row (no per-element Python loops)
+        t_pack = limbs.pack_rows(np.asarray(_from_mont(t)))[:a]
+        order = np.argsort(t_pack, kind="stable")
+        t_sorted = t_pack[order]
+        f_all = np.concatenate([
+            limbs.pack_rows(np.asarray(_from_mont(f)))[:a] for f in fs])
+        pos = np.searchsorted(t_sorted, f_all)
+        pos_c = np.minimum(pos, t_sorted.size - 1)
+        ok = t_sorted[pos_c] == f_all
+        if not ok.all():
+            raise ValueError(
+                f"lookup '{lk.name}': {int((~ok).sum())} input values not in table")
+        # within runs of equal table values, map to the run's first original
+        # row (stable argsort keeps original row order inside each run)
+        run_start = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
+        run_first = np.maximum.accumulate(
+            np.where(run_start, np.arange(t_sorted.size), 0))
+        rows_for_f = order[run_first[pos_c]]
+        m_host = np.bincount(rows_for_f, minlength=n).astype(np.int64)
+        m_dev = blind_tail(_to_mont_jit(jnp.asarray(limbs.encode_i64(FR, m_host))))
         m_all.append(m_dev)
         cpt = decode_point_host(kzg.commit_lagrange(srs, m_dev))
         m_comms.append(cpt)
@@ -531,8 +631,12 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     gamma = tr.challenge()
     beta_dev = limbs.const(FR, beta)
     gamma_dev = limbs.const(FR, gamma)
-    z_list, phi_list = kern.stage_zphi(advice_l, fixed_l, instance_l,
-                                       beta_dev, gamma_dev, fs_all, t_all, m_all)
+    z_list, phi_list, shz_list = kern.stage_zphi(
+        advice_l, fixed_l, instance_l, beta_dev, gamma_dev, fs_all, t_all,
+        m_all, sh_in_all, sh_t_all)
+    z_list = [blind_tail(z) for z in z_list]
+    phi_list = [blind_tail(phi) for phi in phi_list]
+    shz_list = [blind_tail(z) for z in shz_list]
     z_comms = []
     for z in z_list:
         cpt = decode_point_host(kzg.commit_lagrange(srs, z))
@@ -543,6 +647,18 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         cpt = decode_point_host(kzg.commit_lagrange(srs, phi))
         phi_comms.append(cpt)
         tr.common_point(cpt)
+    shz_comms = []
+    for z in shz_list:
+        cpt = decode_point_host(kzg.commit_lagrange(srs, z))
+        shz_comms.append(cpt)
+        tr.common_point(cpt)
+
+    # vanishing-argument random poly: fully random, RLC'd into the x-point
+    # opening batch so the batched opening witness is rerandomized
+    _span("phase4b: random poly")
+    r_evals = _random_mont(rng, (n,))
+    r_comm = decode_point_host(kzg.commit_lagrange(srs, r_evals))
+    tr.common_point(r_comm)
 
     _span("phase5: quotient")
     y = tr.challenge()
@@ -550,7 +666,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     _maybe_release_executables(n)
     h_pieces = kern.stage_quotient(advice_l, fixed_l, instance_l, theta_dev,
                                    beta_dev, gamma_dev, y_dev, z_list,
-                                   phi_list, m_all, *ch_dev)
+                                   phi_list, m_all, shz_list, *ch_dev)
     h_pieces = [jnp.asarray(p) for p in h_pieces]
     _maybe_release_executables(n)
     _span("phase5b: commit h")
@@ -591,17 +707,23 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     z_coeff = [nttmod.intt(FR, z) for z in z_list]
     phi_coeff = [nttmod.intt(FR, phi) for phi in phi_list]
     m_coeff = [nttmod.intt(FR, m) for m in m_all]
+    shz_coeff = [nttmod.intt(FR, z) for z in shz_list]
     for j in range(m_perm):
         eval_jobs[x].append((f"sigma{j}@0", sigma_coeff[j]))
     for ci in range(len(chunks)):
         eval_jobs[x].append((f"permz{ci}@0", z_coeff[ci]))
         eval_jobs[rot_point(1)].append((f"permz{ci}@1", z_coeff[ci]))
         if ci > 0:
-            eval_jobs[rot_point(-1)].append((f"permz{ci - 1}@-1", z_coeff[ci - 1]))
+            # cross-chunk carry is read at the closing row: rotation +a
+            eval_jobs[rot_point(a)].append((f"permz{ci - 1}@{a}", z_coeff[ci - 1]))
     for li in range(len(cs.lookups)):
         eval_jobs[x].append((f"phi{li}@0", phi_coeff[li]))
         eval_jobs[rot_point(1)].append((f"phi{li}@1", phi_coeff[li]))
         eval_jobs[x].append((f"lkm{li}@0", m_coeff[li]))
+    for si in range(len(cs.shuffles)):
+        eval_jobs[x].append((f"shz{si}@0", shz_coeff[si]))
+        eval_jobs[rot_point(1)].append((f"shz{si}@1", shz_coeff[si]))
+    eval_jobs[x].append(("r@0", nttmod.intt(FR, r_evals)))
     for i, piece in enumerate(h_pieces):
         eval_jobs[x].append((f"h{i}@0", piece))
 
@@ -631,11 +753,15 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         groups[x].append((z_list[ci], f"permz{ci}@0"))
         groups[rot_point(1)].append((z_list[ci], f"permz{ci}@1"))
         if ci > 0:
-            groups[rot_point(-1)].append((z_list[ci - 1], f"permz{ci - 1}@-1"))
+            groups[rot_point(a)].append((z_list[ci - 1], f"permz{ci - 1}@{a}"))
     for li in range(len(cs.lookups)):
         groups[x].append((phi_list[li], f"phi{li}@0"))
         groups[rot_point(1)].append((phi_list[li], f"phi{li}@1"))
         groups[x].append((m_all[li], f"lkm{li}@0"))
+    for si in range(len(cs.shuffles)):
+        groups[x].append((shz_list[si], f"shz{si}@0"))
+        groups[rot_point(1)].append((shz_list[si], f"shz{si}@1"))
+    groups[x].append((r_evals, "r@0"))
     for i, piece in enumerate(h_pieces):
         groups[x].append((nttmod.ntt(FR, piece), f"h{i}@0"))
 
@@ -657,6 +783,8 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         lookup_m_commitments=m_comms,
         perm_z_commitments=z_comms,
         lookup_phi_commitments=phi_comms,
+        shuffle_z_commitments=shz_comms,
+        random_commitment=r_comm,
         h_commitments=h_comms,
         evals=evals,
         opening_commitments=opening_comms,

@@ -14,6 +14,7 @@ from ..fieldmath.spec import bn254_fr
 from ..kernels import ntt as nttmod
 from . import pairing
 from .cs import ConstraintSystem, FIXED, ADVICE, INSTANCE
+from .cs import last_active_row
 from .evaluator import evaluate_at_point
 from .keygen import VerifyingKey, DELTA
 from .prover import Proof, _eval_label
@@ -47,6 +48,33 @@ def _l_basis_host(i: int, z: int, k: int) -> int:
     return znm1 * wi % P * pow(n * (z - wi) % P, -1, P) % P
 
 
+def _validate_proof(proof: Proof) -> bool:
+    """Reject invalid-curve / non-canonical proof elements before any group
+    arithmetic: every G1 point must be on y^2 = x^3 + 3 with coordinates in
+    [0, q) (BN254 G1 has cofactor 1 so the on-curve check suffices), every
+    scalar in [0, r). Mirrors halo2's deserialization curve checks."""
+    pts = (proof.advice_commitments + proof.lookup_m_commitments
+           + proof.perm_z_commitments + proof.lookup_phi_commitments
+           + proof.shuffle_z_commitments + [proof.random_commitment]
+           + proof.h_commitments + proof.opening_commitments)
+    for pt in pts:
+        if pt is None:
+            continue
+        x, y = pt
+        if not (0 <= x < hc.P and 0 <= y < hc.P):
+            return False
+        if not hc.g1_is_on_curve(pt):
+            return False
+    for v in proof.evals.values():
+        if not (0 <= v < P):
+            return False
+    for col in proof.instances:
+        for v in col:
+            if not (0 <= v < P):
+                return False
+    return True
+
+
 def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
            transcript: Transcript | None = None) -> bool:
     cs = vk.cs
@@ -54,6 +82,9 @@ def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
     n = 1 << k
     dom = vk.domain
     tr = transcript or Transcript()
+
+    if not _validate_proof(proof):
+        return False
 
     # ---- transcript replay
     tr.common_bytes(vk.transcript_repr())
@@ -77,6 +108,9 @@ def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
         tr.common_point(c)
     for c in proof.lookup_phi_commitments:
         tr.common_point(c)
+    for c in proof.shuffle_z_commitments:
+        tr.common_point(c)
+    tr.common_point(proof.random_commitment)
     y = tr.challenge()
     for c in proof.h_commitments:
         tr.common_point(c)
@@ -112,13 +146,17 @@ def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
     for g in cs.gates:
         acc(evaluate_at_point(g.poly, qv, challenges))
 
+    a = last_active_row(n)
     l0 = _l_basis_host(0, x, k)
-    llast = _l_basis_host(n - 1, x, k)
-    not_last = (1 - llast) % P
+    llast = _l_basis_host(a, x, k)       # closing-row basis
+    blind_sum = llast
+    for i in range(a + 1, n):
+        blind_sum = (blind_sum + _l_basis_host(i, x, k)) % P
+    not_last = (1 - blind_sum) % P       # active-rows mask
 
     m_perm = len(cs.perm_columns)
     chunk = cs.perm_chunk_size()
-    chunks = [list(range(i, min(i + chunk, m_perm))) for i in range(0, m_perm, chunk)]
+    chunks = [list(range(i, min(i + chunk, m_perm))) for i in range(0, m_perm, chunk)] if chunk else []
 
     for ci, cset in enumerate(chunks):
         z_x = proof.evals[f"permz{ci}@0"]
@@ -135,7 +173,7 @@ def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
         if ci == 0:
             acc(l0 * (z_x - 1) % P)
         else:
-            prev = proof.evals[f"permz{ci - 1}@-1"]
+            prev = proof.evals[f"permz{ci - 1}@{a}"]
             acc(l0 * (z_x - prev) % P)
         if ci == len(chunks) - 1:
             acc(llast * (z_x - 1) % P)
@@ -171,6 +209,22 @@ def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
         acc(l0 * phi_x % P)
         acc(llast * phi_x % P)
 
+    for si, sh in enumerate(cs.shuffles):
+        z_x = proof.evals[f"shz{si}@0"]
+        z_wx = proof.evals[f"shz{si}@1"]
+
+        def compress(tup):
+            a = 0
+            for e in tup:
+                a = (a * theta + evaluate_at_point(e, qv, challenges)) % P
+            return a
+
+        a_x = (compress(sh.input) + gamma) % P
+        b_x = (compress(sh.table) + gamma) % P
+        acc(not_last * ((z_wx * b_x - z_x * a_x) % P) % P)
+        acc(l0 * (z_x - 1) % P)
+        acc(llast * (z_x - 1) % P)
+
     # ---- quotient identity at x
     zh_x = (pow(x, n, P) - 1) % P
     h_x = 0
@@ -202,12 +256,16 @@ def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
         groups[x].append((proof.perm_z_commitments[ci], proof.evals[f"permz{ci}@0"]))
         groups[rot_point(1)].append((proof.perm_z_commitments[ci], proof.evals[f"permz{ci}@1"]))
         if ci > 0:
-            groups[rot_point(-1)].append(
-                (proof.perm_z_commitments[ci - 1], proof.evals[f"permz{ci - 1}@-1"]))
+            groups[rot_point(a)].append(
+                (proof.perm_z_commitments[ci - 1], proof.evals[f"permz{ci - 1}@{a}"]))
     for li in range(len(cs.lookups)):
         groups[x].append((proof.lookup_phi_commitments[li], proof.evals[f"phi{li}@0"]))
         groups[rot_point(1)].append((proof.lookup_phi_commitments[li], proof.evals[f"phi{li}@1"]))
         groups[x].append((proof.lookup_m_commitments[li], proof.evals[f"lkm{li}@0"]))
+    for si in range(len(cs.shuffles)):
+        groups[x].append((proof.shuffle_z_commitments[si], proof.evals[f"shz{si}@0"]))
+        groups[rot_point(1)].append((proof.shuffle_z_commitments[si], proof.evals[f"shz{si}@1"]))
+    groups[x].append((proof.random_commitment, proof.evals["r@0"]))
     for i in range(len(proof.h_commitments)):
         groups[x].append((proof.h_commitments[i], proof.evals[f"h{i}@0"]))
 

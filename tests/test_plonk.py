@@ -92,3 +92,68 @@ def test_prove_and_verify_roundtrip():
     bad_evals[klabel] = (bad_evals[klabel] + 1) % (2**250)
     bad2 = dataclasses.replace(p2, evals=bad_evals)
     assert not verifier.verify(pk.vk, srs.g2, srs.s_g2, bad2)
+
+    # off-curve opening point must be rejected before any group math
+    bad3 = dataclasses.replace(
+        p2, opening_commitments=[(1, 1)] + p2.opening_commitments[1:])
+    assert not verifier.verify(pk.vk, srs.g2, srs.s_g2, bad3)
+
+
+def build_shuffle_circuit():
+    """Column `b` must be a permutation of column `a` (shuffle argument),
+    and additionally both are selector-tagged so inactive rows pair up."""
+    cs = csmod.ConstraintSystem()
+    a = cs.advice_column()
+    b = cs.advice_column()
+    sel = cs.fixed_column()
+    va, vb, vs = cs.query(a), cs.query(b), cs.query(sel)
+    cs.add_shuffle("b_perm_of_a", (vs * va, vs), (vs * vb, vs))
+    return cs, (a, b, sel)
+
+
+def build_shuffle_assignment(cs, cols, tamper=False):
+    a, b, sel = cols
+    asg = Assignment.empty(cs, K)
+    avals = [5, 3, 9, 1, 7, 2]
+    bvals = sorted(avals)
+    if tamper:
+        bvals[2] = 99
+    asg.set_ints(a, 0, avals)
+    asg.set_ints(b, 0, bvals)
+    asg.set_ints(sel, 0, [1] * len(avals))
+    return asg
+
+
+def test_shuffle_mock_and_prove():
+    cs, cols = build_shuffle_circuit()
+    asg = build_shuffle_assignment(cs, cols)
+    assert mock.verify(asg) == []
+    bad = build_shuffle_assignment(cs, cols, tamper=True)
+    assert any(f.kind == "shuffle" for f in mock.verify(bad))
+
+    srs = srsmod.gen_srs(K)
+    pk = keygen.keygen(cs, K, srs, asg)
+    p = prover.create_proof(pk, srs, asg, seed=3)
+    assert verifier.verify(pk.vk, srs.g2, srs.s_g2, p)
+    # proof of the tampered (non-permutation) assignment must not verify
+    p_bad = prover.create_proof(pk, srs, bad, seed=3)
+    assert not verifier.verify(pk.vk, srs.g2, srs.s_g2, p_bad)
+
+
+def test_zero_knowledge_blinding():
+    """Two proofs of the same witness differ byte-wise (fresh blinding), both
+    verify; a fixed seed reproduces a byte-identical proof (det-prove)."""
+    cs, cols = build_circuit()
+    asg = build_assignment(cs, cols)
+    srs = srsmod.gen_srs(K)
+    pk = keygen.keygen(cs, K, srs, asg)
+    p1 = prover.create_proof(pk, srs, asg, seed=1)
+    p2 = prover.create_proof(pk, srs, asg, seed=2)
+    assert p1.to_json() != p2.to_json(), "blinding must randomize proofs"
+    assert verifier.verify(pk.vk, srs.g2, srs.s_g2, p1)
+    assert verifier.verify(pk.vk, srs.g2, srs.s_g2, p2)
+    # advice commitments themselves must be rerandomized (hiding), not just
+    # the opening side
+    assert p1.advice_commitments != p2.advice_commitments
+    p1b = prover.create_proof(pk, srs, asg, seed=1)
+    assert p1.to_json() == p1b.to_json(), "det-prove seed must reproduce"
