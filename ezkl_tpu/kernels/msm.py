@@ -15,8 +15,8 @@ compiled graphs, and few sequential steps:
   small/medium N).
 * Per window group:
     1. `argsort` digits (batched XLA sort), gather points into digit order,
-    2. blocked inclusive prefix scan of point adds (lax.scan of M-wide
-       vectorized adds, recursing on block totals: ~2*sqrt(N) steps),
+    2. log-depth inclusive prefix scan of point adds (associative_scan of
+       the complete group law: full vector width at every level),
     3. telescoped bucket phase: with exclusive prefix E and bucket start
        offsets s_b, sum_b b*S_b = (B-1)*Total - sum_{b>=1} E[s_b] — one
        batched gather + one fold, no per-bucket diffs or suffix scans.
@@ -41,6 +41,41 @@ from ..fieldmath.curve import PointP
 from ..fieldmath.spec import bn254_fq, bn254_fr, NLIMBS, LIMB_BITS
 
 _U32 = jnp.uint32
+
+# Point-add dispatch: wide batches ride the pallas VMEM kernel on TPU
+# (`kernels/pcurve.py`: ~2.6x the XLA-fused path and seconds instead of
+# minutes of compile per instantiation); narrow batches and other backends
+# use the XLA path. Threshold = one pallas block.
+_PALLAS_MIN = 1024
+
+
+def _use_pallas() -> bool:
+    import os
+    env = os.environ.get("EZKL_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
+def _batch_n(p: PointP) -> int:
+    n = 1
+    for d in p.x.shape[1:]:
+        n *= d
+    return n
+
+
+def _padd(p: PointP, q: PointP) -> PointP:
+    if _use_pallas() and _batch_n(p) >= _PALLAS_MIN and p.x.shape == q.x.shape:
+        from . import pcurve
+        return pcurve.add(p, q)
+    return curve.add(p, q)
+
+
+def _pdbl(p: PointP) -> PointP:
+    if _use_pallas() and _batch_n(p) >= _PALLAS_MIN:
+        from . import pcurve
+        return pcurve.dbl(p)
+    return curve.dbl(p)
 
 
 def default_window_bits(n: int) -> int:
@@ -82,18 +117,24 @@ def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# blocked prefix scan of point additions (batched over leading dims)
+# prefix scan / tree fold of point additions (batched over leading dims)
+#
+# Design constraint (measured): one inlined copy of the group law costs the
+# XLA *compiler* dearly (a 32-wide associative_scan of curve.add takes ~8min
+# to compile on the CPU backend), so every O(N) chain lives inside a
+# lax.scan body — compiled ONCE — running at width N/BLOCK, and the
+# recursion on block totals adds only log_BLOCK(N) small levels.
 # ---------------------------------------------------------------------------
 
-_SEQ_BASE = 16  # below this, scan sequentially
+_BLOCK = 32  # sequential steps per level; width per step = n / _BLOCK
 
 
 def _seq_inclusive(p: PointP) -> PointP:
-    """Sequential inclusive prefix along last axis via lax.scan."""
+    """Inclusive prefix along the LAST axis via one lax.scan (batched)."""
     xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), p)
 
     def body(acc, x):
-        acc = curve.add(acc, x)
+        acc = _padd(acc, x)
         return acc, acc
 
     init = curve.identity(p.batch_shape[:-1])
@@ -102,36 +143,65 @@ def _seq_inclusive(p: PointP) -> PointP:
 
 
 def prefix_scan_points(p: PointP) -> PointP:
-    """Inclusive prefix sum of points along the last batch axis (power of 2,
-    arbitrary leading batch dims). Work O(N); depth ~2*sqrt(N)."""
+    """Inclusive prefix sum of points along the last batch axis.
+
+    Blocked scan: reshape to (m, BLOCK), one lax.scan of BLOCK full-width
+    (m-lane) steps, recurse on the m block totals, then one combine add.
+    Work ~2N, depth ~BLOCK * log_BLOCK(N), compile size O(log_BLOCK N)."""
     n = p.x.shape[-1]
-    assert (n & (n - 1)) == 0, "prefix_scan_points: need power-of-two length"
-    if n <= _SEQ_BASE:
+    if n <= _BLOCK:
         return _seq_inclusive(p)
-    k = n.bit_length() - 1
-    s = 1 << ((k + 1) // 2)
-    m = n // s
-    pr = jax.tree.map(lambda a: a.reshape(a.shape[:-1] + (m, s)), p)
-    local = _seq_inclusive(pr)                                 # (.., m, s)
+    assert n % _BLOCK == 0, "prefix_scan_points: need n % BLOCK == 0"
+    m = n // _BLOCK
+    pr = jax.tree.map(lambda a: a.reshape(a.shape[:-1] + (m, _BLOCK)), p)
+    local = _seq_inclusive(pr)                                  # (.., m, B)
     totals = jax.tree.map(lambda a: a[..., -1], local)          # (.., m)
     tot_pref = prefix_scan_points(totals)
+
     def shift(a):
         z = jnp.zeros_like(a[..., :1])
         return jnp.concatenate([z, a[..., :-1]], axis=-1)
 
     offs = PointP(shift(tot_pref.x), shift(tot_pref.y), shift(tot_pref.z))
-    offs = curve.select_point(
-        jnp.arange(m) == 0,
-        curve.identity(offs.batch_shape),
-        offs,
-    )
-    combined = curve.add(local, jax.tree.map(lambda a: a[..., None], offs))
+    offs = curve.select_point(jnp.arange(m) == 0,
+                              curve.identity(offs.batch_shape), offs)
+    offs_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[..., None], local.x.shape), offs)
+    combined = _padd(local, offs_b)
     return jax.tree.map(lambda a: a.reshape(a.shape[:-2] + (n,)), combined)
 
 
 def fold_points(p: PointP) -> PointP:
-    """Sum of points along the last axis (power of 2), scan-based."""
-    return jax.tree.map(lambda a: a[..., -1], prefix_scan_points(p))
+    """Sum of points along the last axis (any length).
+
+    Blocked: (m, BLOCK) accumulate via one lax.scan (width m), recurse on
+    the m totals. Work ~N, compile size O(log_BLOCK N)."""
+    n = p.x.shape[-1]
+    while n > _BLOCK:
+        m = -(-n // _BLOCK)
+        if m * _BLOCK != n:
+            pad = m * _BLOCK - n
+            idp = curve.identity(p.batch_shape[:-1] + (pad,))
+            p = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=-1), p, idp)
+        pr = jax.tree.map(
+            lambda a: a.reshape(a.shape[:-1] + (m, _BLOCK)), p)
+        xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), pr)
+
+        def body(acc, x):
+            return _padd(acc, x), None
+
+        init = curve.identity(pr.batch_shape[:-1])
+        p, _ = jax.lax.scan(body, init, xs)                     # (.., m)
+        n = m
+    # final short fold: one sequential scan of <= BLOCK steps
+    xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), p)
+
+    def body2(acc, x):
+        return curve.add(acc, x), None  # width <= BLOCK: XLA path
+
+    out, _ = jax.lax.scan(body2, curve.identity(p.batch_shape[:-1]), xs)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -180,12 +250,6 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
             lambda a: jnp.take_along_axis(a, safe[None], axis=-1), incl)
         e_pts = curve.select_point(starts == 0,
                                    curve.identity(starts.shape), e_pts)
-        # pad bucket axis to power of two for the fold
-        pad = _next_pow2(nbuckets - 1) - (nbuckets - 1)
-        if pad:
-            idp = curve.identity(starts.shape[:-1] + (pad,))
-            e_pts = jax.tree.map(
-                lambda a, b: jnp.concatenate([a, b], axis=-1), e_pts, idp)
         return None, fold_points(e_pts)                       # (16, G)
 
     _, f_groups = jax.lax.scan(group_body, None, dgroups)
@@ -212,10 +276,6 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
     xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), rev)
     res, _ = jax.lax.scan(horner_body, curve.identity(()), xs)
     return res
-
-
-def _next_pow2(x: int) -> int:
-    return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
 def _neg_point(p: PointP) -> PointP:

@@ -121,3 +121,34 @@ def test_root_of_unity_constants():
     w = fr.root_of_unity
     assert pow(w, 1 << 28, fr.modulus) == 1
     assert pow(w, 1 << 27, fr.modulus) != 1
+
+
+def test_fused_and_stacked_cores_agree():
+    """The compile-cheap stacked core (CPU default) and the fused limb-list
+    core (TPU default) must be bit-exact on add/sub/mont_mul."""
+    import os
+
+    spec = bn254_fq()
+    xs = rand_elems(spec, 16, seed=77)
+    ys = rand_elems(spec, 16, seed=78)
+    A, B = limbs.encode(spec, xs), limbs.encode(spec, ys)
+
+    def run_all():
+        import jax
+        return [
+            np.asarray(jax.jit(lambda a, b: limbs.add(spec, a, b))(A, B)),
+            np.asarray(jax.jit(lambda a, b: limbs.sub(spec, a, b))(A, B)),
+            np.asarray(jax.jit(lambda a, b: limbs.mont_mul(spec, a, b))(A, B)),
+        ]
+
+    os.environ["EZKL_TPU_FUSED_LIMBS"] = "0"
+    try:
+        stacked = run_all()
+    finally:
+        os.environ["EZKL_TPU_FUSED_LIMBS"] = "1"
+    try:
+        fused = run_all()
+    finally:
+        del os.environ["EZKL_TPU_FUSED_LIMBS"]
+    for s, f in zip(stacked, fused):
+        assert np.array_equal(s, f)
