@@ -42,11 +42,14 @@ from ..fieldmath.spec import bn254_fq, bn254_fr, NLIMBS, LIMB_BITS
 
 _U32 = jnp.uint32
 
-# Point-add dispatch: wide batches ride the pallas VMEM kernel on TPU
-# (`kernels/pcurve.py`: ~2.6x the XLA-fused path and seconds instead of
-# minutes of compile per instantiation); narrow batches and other backends
-# use the XLA path. Threshold = one pallas block.
-_PALLAS_MIN = 1024
+# Point-add dispatch: on TPU EVERY add/dbl rides the pallas VMEM kernel
+# (`kernels/pcurve.py`). One inlined XLA-graph copy of the group law is
+# ~40k HLO ops and costs the XLA *TPU* compiler ~2-5 minutes per
+# instantiation (measured; the round-2 bench timed out on exactly this),
+# while a pallas_call is one opaque custom call whose Mosaic kernel is
+# compiled once per block shape. Narrow batches are padded up to one
+# sublane tile (128 lanes) — the runtime waste is nil next to compile time.
+_PAD_MIN = 128
 
 
 def _use_pallas() -> bool:
@@ -65,14 +68,14 @@ def _batch_n(p: PointP) -> int:
 
 
 def _padd(p: PointP, q: PointP) -> PointP:
-    if _use_pallas() and _batch_n(p) >= _PALLAS_MIN and p.x.shape == q.x.shape:
+    if _use_pallas() and p.x.shape == q.x.shape:
         from . import pcurve
         return pcurve.add(p, q)
     return curve.add(p, q)
 
 
 def _pdbl(p: PointP) -> PointP:
-    if _use_pallas() and _batch_n(p) >= _PALLAS_MIN:
+    if _use_pallas():
         from . import pcurve
         return pcurve.dbl(p)
     return curve.dbl(p)
@@ -198,7 +201,7 @@ def fold_points(p: PointP) -> PointP:
     xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), p)
 
     def body2(acc, x):
-        return curve.add(acc, x), None  # width <= BLOCK: XLA path
+        return _padd(acc, x), None
 
     out, _ = jax.lax.scan(body2, curve.identity(p.batch_shape[:-1]), xs)
     return out
@@ -260,17 +263,17 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
     # U = (2^c - 1) * Total = 2^c*T - T  (doublings via scan: 1 dbl body)
     def dbl_n(p, n_dbl):
         def body(acc, _):
-            return curve.dbl(acc), None
+            return _pdbl(acc), None
         out, _ = jax.lax.scan(body, p, None, length=n_dbl)
         return out
 
-    u = curve.add(dbl_n(total, c), _neg_point(total))
+    u = _padd(dbl_n(total, c), _neg_point(total))
 
     # Horner MSB-first over V_w = U - F_w  (padded windows have F_w =
     # (B-1)*Total from all-zero digits, so V_w = 0 for them — safe)
     def horner_body(acc, fw):
-        v = curve.add(u, _neg_point(fw))
-        return curve.add(dbl_n(acc, c), v), None
+        v = _padd(u, _neg_point(fw))
+        return _padd(dbl_n(acc, c), v), None
 
     rev = jax.tree.map(lambda a: a[..., ::-1], f_w)
     xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), rev)

@@ -30,7 +30,8 @@ from ..fieldmath.curve import PointP, B3
 from ..fieldmath.spec import bn254_fq, NLIMBS
 
 FQ = bn254_fq()
-_BLK = 1024  # lanes per block: 8 sublane-tiles of 128; ~VMEM-friendly
+_BLK = 1024       # lanes per block for wide batches (8 sublane-tiles of 128)
+_BLK_NARROW = 128  # block for narrow batches (padded up); keeps pad waste low
 
 
 def _unstack_ref(ref):
@@ -136,20 +137,28 @@ def _dbl_kernel(x, y, z, ox, oy, oz):
         oz[i] = Z3[i]
 
 
-def _spec():
-    return pl.BlockSpec((NLIMBS, _BLK), lambda i: (0, i),
-                        memory_space=pltpu.VMEM)
+# EXACTLY TWO block shapes — (16, 128) for narrow batches, (16, 1024) for
+# wide — whatever the batch width: jax caches pallas kernel lowering per
+# (kernel, block shapes), and tracing the ~15k-op limb kernel body costs
+# ~30 s, so it must be paid a bounded number of times per process instead
+# of once per distinct width (the round-2 bench timed out on exactly that).
+# Narrow batches keep a small block so scalar-ish ops (Horner combine,
+# fold tails) don't burn 1024 lanes of VPU per step.
 
 
-@functools.lru_cache(maxsize=32)
+def _blk_for(n: int) -> int:
+    return _BLK if n >= _BLK else _BLK_NARROW
+
+
+@functools.lru_cache(maxsize=64)
 def _add_call(n: int):
-    grid = (n // _BLK,) if n >= _BLK else (1,)
-    blk = _BLK if n >= _BLK else n
+    blk = _blk_for(n)
+    assert n % blk == 0
     spec = pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _add_kernel,
-        grid=grid,
+        grid=(n // blk,),
         in_specs=[spec] * 6,
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((NLIMBS, n), jnp.uint32)
@@ -157,15 +166,15 @@ def _add_call(n: int):
     )
 
 
-@functools.lru_cache(maxsize=32)
+@functools.lru_cache(maxsize=64)
 def _dbl_call(n: int):
-    grid = (n // _BLK,) if n >= _BLK else (1,)
-    blk = _BLK if n >= _BLK else n
+    blk = _blk_for(n)
+    assert n % blk == 0
     spec = pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
         _dbl_kernel,
-        grid=grid,
+        grid=(n // blk,),
         in_specs=[spec] * 3,
         out_specs=(spec, spec, spec),
         out_shape=tuple(jax.ShapeDtypeStruct((NLIMBS, n), jnp.uint32)
@@ -173,47 +182,47 @@ def _dbl_call(n: int):
     )
 
 
-def _flatten(p: PointP):
-    """-> (x2d, y2d, z2d, batch_shape, n) with trailing batch flattened."""
-    bs = p.x.shape[1:]
-    n = 1
-    for d in bs:
-        n *= d
-    return (p.x.reshape(NLIMBS, n), p.y.reshape(NLIMBS, n),
-            p.z.reshape(NLIMBS, n), bs, n)
+def _flatten_pad(arrs, n):
+    """Flatten trailing batch dims to one axis; zero-pad to a block multiple
+    (128-lane blocks below 1024 lanes, 1024-lane blocks above)."""
+    blk = _blk_for(n)
+    target = max(blk, -(-n // blk) * blk)
+    out = []
+    for a in arrs:
+        a = a.reshape(NLIMBS, n)
+        if target != n:
+            z16 = jnp.zeros((NLIMBS, target - n), jnp.uint32)
+            a = jnp.concatenate([a, z16], axis=-1)
+        out.append(a)
+    return out, target
 
 
 def add(p: PointP, q: PointP) -> PointP:
     """Complete projective add via the pallas kernel (TPU path).
 
-    Batch shapes must match (broadcast on the caller side); any batch rank.
-    Falls back gracefully only on shape — caller picks pallas vs XLA path.
+    Batch shapes must match (broadcast on the caller side); any batch rank,
+    any width — inputs are padded to a multiple of the block (garbage lanes
+    are computed and sliced away; compile-time beats the nil runtime waste).
     """
-    px, py, pz, bs, n = _flatten(p)
-    qx, qy, qz, bs2, n2 = _flatten(q)
-    assert bs == bs2, f"batch mismatch {bs} vs {bs2}"
-    if n % _BLK != 0 and n > _BLK:
-        pad = -(-n // _BLK) * _BLK - n
-        z16 = jnp.zeros((NLIMBS, pad), jnp.uint32)
-        px, py, pz, qx, qy, qz = (
-            jnp.concatenate([t, z16], axis=-1) for t in (px, py, pz, qx, qy, qz))
-        ox, oy, oz = _add_call(n + pad)(px, py, pz, qx, qy, qz)
-        ox, oy, oz = ox[:, :n], oy[:, :n], oz[:, :n]
-    else:
-        ox, oy, oz = _add_call(n)(px, py, pz, qx, qy, qz)
+    bs = p.x.shape[1:]
+    assert bs == q.x.shape[1:], f"batch mismatch {bs} vs {q.x.shape[1:]}"
+    n = 1
+    for d in bs:
+        n *= d
+    ins, t = _flatten_pad([p.x, p.y, p.z, q.x, q.y, q.z], n)
+    ox, oy, oz = _add_call(t)(*ins)
     shape = (NLIMBS,) + bs
-    return PointP(ox.reshape(shape), oy.reshape(shape), oz.reshape(shape))
+    return PointP(ox[:, :n].reshape(shape), oy[:, :n].reshape(shape),
+                  oz[:, :n].reshape(shape))
 
 
 def dbl(p: PointP) -> PointP:
-    px, py, pz, bs, n = _flatten(p)
-    if n % _BLK != 0 and n > _BLK:
-        pad = -(-n // _BLK) * _BLK - n
-        z16 = jnp.zeros((NLIMBS, pad), jnp.uint32)
-        px, py, pz = (jnp.concatenate([t, z16], axis=-1) for t in (px, py, pz))
-        ox, oy, oz = _dbl_call(n + pad)(px, py, pz)
-        ox, oy, oz = ox[:, :n], oy[:, :n], oz[:, :n]
-    else:
-        ox, oy, oz = _dbl_call(n)(px, py, pz)
+    bs = p.x.shape[1:]
+    n = 1
+    for d in bs:
+        n *= d
+    ins, t = _flatten_pad([p.x, p.y, p.z], n)
+    ox, oy, oz = _dbl_call(t)(*ins)
     shape = (NLIMBS,) + bs
-    return PointP(ox.reshape(shape), oy.reshape(shape), oz.reshape(shape))
+    return PointP(ox[:, :n].reshape(shape), oy[:, :n].reshape(shape),
+                  oz[:, :n].reshape(shape))
