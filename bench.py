@@ -73,11 +73,18 @@ def bench_ntt():
     v = rng.integers(0, 1 << 16, size=(16, 1 << k), dtype=np.uint64).astype(np.uint32)
     v[15] &= 0x03FF
     dev = jnp.asarray(v)
-    out = jax.block_until_ready(nttmod.ntt_jit(fr, dev))
+    np.asarray(nttmod.ntt_jit(fr, dev))  # warm-up; host copy forces sync
+    ins = []
+    for i in range(iters):
+        w = v.copy()
+        w[0] ^= np.uint32(i + 1)  # distinct inputs each iteration
+        ins.append(jnp.asarray(w))
+    jax.block_until_ready(ins)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = nttmod.ntt_jit(fr, dev)
-    jax.block_until_ready(out)
+    for w in ins:
+        # tiny dependent slice fetched to host: forces completion without a
+        # 16 MB transfer (block_until_ready lies on axon)
+        np.asarray(nttmod.ntt_jit(fr, w)[:, :1])
     dt = (time.perf_counter() - t0) / iters
     print(json.dumps({
         "metric": f"ntt_fr_2p{k}_per_s",

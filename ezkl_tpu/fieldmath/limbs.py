@@ -507,6 +507,78 @@ def _use_fused() -> bool:
     return jax.default_backend() != "cpu"
 
 
+# ---------------------------------------------------------------------------
+# pallas dispatch for WIDE mont_mul on TPU
+#
+# One inlined XLA copy of the fused mont_mul costs the TPU compiler ~13 s;
+# prover stage graphs and the NTT contain dozens-to-hundreds of call sites,
+# which made cold compiles take minutes-to-hours (the round-2 bench timeout).
+# As a pallas_call each site is one opaque custom call; jax caches the
+# kernel lowering per (spec, block shape), so the ~5k-op body is traced a
+# bounded number of times per process. add/sub stay XLA elementwise (their
+# graphs are small and fuse into neighbors).
+# ---------------------------------------------------------------------------
+
+_PL_BLK = 1024       # wide block: 8 sublane-tiles of 128 lanes
+_PL_BLK_NARROW = 128  # narrow block (padded up)
+_PL_MIN = 128        # below this flattened width, stay on the fused XLA core
+
+
+def _use_pallas_field() -> bool:
+    # pallas kernel tracing breaks under ensure_compile_time_eval (internal
+    # jnp constants concretize into "captured constants"); precomputes that
+    # run under it keep the fused XLA core.
+    try:
+        from jax._src import config as _jcfg
+        if _jcfg.eager_constant_folding.value:
+            return False
+    except Exception:
+        pass
+    env = _os.environ.get("EZKL_TPU_PALLAS")
+    if env is not None:
+        return env not in ("0", "false")
+    return jax.default_backend() == "tpu"
+
+
+@_functools.lru_cache(maxsize=None)
+def _pl_mul_call(spec: FieldSpec, n: int):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    blk = _PL_BLK if n >= _PL_BLK else _PL_BLK_NARROW
+    assert n % blk == 0
+
+    def kern(a_ref, b_ref, o_ref):
+        al = [a_ref[i] for i in range(NLIMBS)]
+        bl = [b_ref[i] for i in range(NLIMBS)]
+        ol = _mont_mul_l(spec, al, bl)
+        for i in range(NLIMBS):
+            o_ref[i] = ol[i]
+
+    spec_b = pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
+                          memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=(n // blk,), in_specs=[spec_b] * 2, out_specs=spec_b,
+        out_shape=jax.ShapeDtypeStruct((NLIMBS, n), _U32))
+
+
+def _mont_mul_pallas(spec: FieldSpec, a, b):
+    shape = a.shape
+    n = 1
+    for d in shape[1:]:
+        n *= d
+    blk = _PL_BLK if n >= _PL_BLK else _PL_BLK_NARROW
+    target = max(blk, -(-n // blk) * blk)
+    a2 = a.reshape(NLIMBS, n)
+    b2 = b.reshape(NLIMBS, n)
+    if target != n:
+        z = jnp.zeros((NLIMBS, target - n), _U32)
+        a2 = jnp.concatenate([a2, z], axis=-1)
+        b2 = jnp.concatenate([b2, z], axis=-1)
+    out = _pl_mul_call(spec, target)(a2, b2)
+    return out[:, :n].reshape(shape)
+
+
 def add(spec: FieldSpec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
     if not _use_fused():
@@ -547,6 +619,11 @@ def mont_mul(spec: FieldSpec, a, b):
     a, b = jnp.broadcast_arrays(a, b)
     if not _use_fused():
         return _mont_mul_stacked(spec, a, b)
+    n = 1
+    for d in a.shape[1:]:
+        n *= d
+    if n >= _PL_MIN and _use_pallas_field():
+        return _mont_mul_pallas(spec, a, b)
     return _stack(_mont_mul_l(spec, _unstack(a), _unstack(b)))
 
 

@@ -103,11 +103,17 @@ class Span:
 
 @dataclasses.dataclass
 class TVal:
-    """A graph tensor during layout: quantized ints + scale + location."""
+    """A graph tensor during layout: quantized ints + scale + location.
+
+    `witness=True` marks CLAIMED, input-dependent values (e.g. a division
+    quotient, a decomposition digit): they must live in ADVICE — placing
+    them in the fixed column would bake one input's witness into keygen
+    and break proofs for every other input."""
 
     ints: np.ndarray          # int64, the tensor's shape
     scale: int
     span: Span | None         # None until materialized in the circuit
+    witness: bool = False
 
     @property
     def shape(self):
@@ -176,10 +182,11 @@ class LayoutCtx:
     # -- tensor materialization ----------------------------------------------
 
     def materialize(self, tv: TVal, col=None) -> Span:
-        """Give a spanless tensor a home (constants -> c_fixed)."""
+        """Give a spanless tensor a home: constants -> c_fixed, claimed
+        witness values (tv.witness) -> an advice column."""
         if tv.span is not None:
             return tv.span
-        col = col or self.cfg.c_fixed
+        col = col or (self.cfg.a2 if tv.witness else self.cfg.c_fixed)
         size = int(tv.ints.size)
         r = self.alloc(size)
         self.write(col, r, tv.ints)

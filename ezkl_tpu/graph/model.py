@@ -310,7 +310,8 @@ class Model:
                 a, b = align(ins[0], ins[1])
                 fn = {"Greater": ops.greater, "Less": ops.less,
                       "Equal": ops.equals}[op]
-                out = fn(ctx, a, b, ra.lookup_range)
+                out = fn(ctx, a, b, ra.lookup_range,
+                         decomp=(ra.decomp_base, ra.decomp_legs))
             elif op == "Where":
                 a, b = align(ins[1], ins[2])
                 out = ops.iff(ctx, ins[0], a, b)
@@ -325,11 +326,20 @@ class Model:
                 out = ops.lookup_fn(ctx, op.lower(), ins[0], fn,
                                     ins[0].scale, ins[0].scale, ra.lookup_range)
             elif op == "Sign":
-                out = ops.lookup_fn(ctx, "sign", ins[0], np.sign,
-                                    ins[0].scale, 0, ra.lookup_range)
+                if ops._fits_table(ins[0].ints, ra.lookup_range):
+                    out = ops.lookup_fn(ctx, "sign", ins[0], np.sign,
+                                        ins[0].scale, 0, ra.lookup_range)
+                else:  # decompose path: range up to decomp_base**decomp_legs
+                    out = ops.sign_decomp(ctx, ins[0], ra.decomp_base,
+                                          ra.decomp_legs)
             elif op == "Abs":
-                out = ops.lookup_fn(ctx, "abs", ins[0], np.abs,
-                                    ins[0].scale, ins[0].scale, ra.lookup_range)
+                if ops._fits_table(ins[0].ints, ra.lookup_range):
+                    out = ops.lookup_fn(ctx, "abs", ins[0], np.abs,
+                                        ins[0].scale, ins[0].scale,
+                                        ra.lookup_range)
+                else:
+                    out = ops.abs_decomp(ctx, ins[0], ra.decomp_base,
+                                         ra.decomp_legs)
             elif op in ("Max", "Min") and len(ins) == 2:
                 a, b = align(ins[0], ins[1])
                 if op == "Max":

@@ -193,7 +193,7 @@ def div_known(ctx: LayoutCtx, a: TVal, d: int, out_scale: int) -> TVal:
     h = d // 2
     # q*d (mul gate with the constant d)
     dconst = TVal(np.full(1, d, np.int64), 0, None)
-    qv = TVal(q, 0, None)
+    qv = TVal(q, 0, None, witness=True)  # claimed quotient: MUST be advice
     prod = pairwise(ctx, "mul", qv, dconst)
     # recover q's span: it was staged as operand a0 of the mul
     q_span = Span.contiguous(cfg.a0, int(prod.span.rows[0]), q.size)
@@ -480,19 +480,33 @@ def resize_nearest(ctx: LayoutCtx, x: TVal, scales) -> TVal:
 # comparisons / logic (reference `layouts.rs:3112-3544`)
 # ---------------------------------------------------------------------------
 
-def greater(ctx, a: TVal, b: TVal, lookup_range) -> TVal:
+def _fits_table(vals: np.ndarray, lookup_range) -> bool:
+    lo, hi = lookup_range
+    return vals.size == 0 or (int(vals.min()) >= lo and int(vals.max()) <= hi)
+
+
+def greater(ctx, a: TVal, b: TVal, lookup_range, decomp=None) -> TVal:
+    """(a > b). Table path when the difference fits `lookup_range`; with
+    `decomp=(base, legs)` falls back to the decompose path for ranges up to
+    base**legs (reference routes comparisons through sign/decompose,
+    `layouts.rs:3112-3544`)."""
     diff = pairwise(ctx, "sub", a, b)
+    if decomp is not None and not _fits_table(diff.ints, lookup_range):
+        s = sign_decomp(ctx, diff, *decomp)
+        return _bit_from_sign(ctx, s, positive=True)
     out = lookup_fn(ctx, "step_pos", diff, lambda x: (x > 0).astype(np.float64),
                     diff.scale, 0, lookup_range)
     return out
 
 
-def less(ctx, a, b, lookup_range):
-    return greater(ctx, b, a, lookup_range)
+def less(ctx, a, b, lookup_range, decomp=None):
+    return greater(ctx, b, a, lookup_range, decomp)
 
 
-def equals(ctx, a: TVal, b: TVal, lookup_range) -> TVal:
+def equals(ctx, a: TVal, b: TVal, lookup_range, decomp=None) -> TVal:
     diff = pairwise(ctx, "sub", a, b)
+    if decomp is not None and not _fits_table(diff.ints, lookup_range):
+        return equals_zero(ctx, diff)
     return lookup_fn(ctx, "is_zero", diff,
                      lambda x: (x == 0).astype(np.float64),
                      diff.scale, 0, lookup_range)
@@ -536,3 +550,177 @@ def pow_int(ctx, a: TVal, e: int) -> TVal:
         if ee:
             base = pairwise(ctx, "mul", base, base)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# decompose / recompose family (reference `layouts.rs:6321-6423`, `:5024`,
+# `:6201`) — lookup-free sign/abs/comparisons whose range is base**legs
+# instead of the lookup-table size.
+# ---------------------------------------------------------------------------
+
+def range_check(ctx: LayoutCtx, a: TVal, lo: int, hi: int) -> TVal:
+    """Constrain every element of `a` into [lo, hi] via an identity-pair
+    lookup table (our logup analog of the reference's RangeCheck chip,
+    `table.rs:326`)."""
+    tbl = np.arange(lo, hi + 1, dtype=np.int64)
+    return ctx.apply_lookup(f"range_{lo}_{hi}", tbl, tbl, a, a.scale)
+
+
+def equals_zero(ctx: LayoutCtx, a: TVal) -> TVal:
+    """iz = (x == 0) via a witnessed field inverse (`layouts.rs:3549`):
+
+        u  = x * xi         (xi := x^{-1} in Fr, or 0)   [mul gate]
+        iz = 1 - u                                        [sub gate]
+        x * iz = 0          (a2 copy-constrained to a fixed 0 cell)
+
+    Sound: x != 0 forces iz = 0 then u = 1 so xi = x^{-1}; x = 0 forces
+    u = 0, iz = 1. The inverse is a full-width field element and lives in
+    the overlay (`LayoutCtx.write_field`)."""
+    from ..fieldmath.spec import FR_MODULUS as P
+
+    cfg = ctx.cfg
+    x = a.ints.reshape(-1)
+    L = int(x.size)
+    ar = np.arange(L)
+    u = (x != 0).astype(np.int64)
+    iz = 1 - u
+
+    # u = x * xi
+    r1 = ctx.alloc(L)
+    ctx.stage_operand(a, cfg.a0, r1, ar)
+    xi = [pow(int(v) % P, -1, P) if v else 0 for v in x]
+    ctx.write_field(cfg.a1, r1, xi)
+    ctx.write(cfg.a2, r1, u)
+    ctx.enable("mul", r1, L)
+
+    # iz = 1 - u
+    one = TVal(np.ones(1, np.int64), 0, None)
+    r2 = ctx.alloc(L)
+    ctx.stage_operand(one, cfg.a0, r2, np.zeros(L, np.int64))
+    ctx.write(cfg.a1, r2, u)
+    ctx.copy_rows(cfg.a1, r2 + ar, cfg.a2, r1 + ar)
+    ctx.write(cfg.a2, r2, iz)
+    ctx.enable("sub", r2, L)
+
+    # x * iz == 0
+    r3 = ctx.alloc(L)
+    ctx.stage_operand(a, cfg.a0, r3, ar)
+    ctx.write(cfg.a1, r3, iz)
+    ctx.copy_rows(cfg.a1, r3 + ar, cfg.a2, r2 + ar)
+    ctx.write(cfg.a2, r3, np.zeros(L, np.int64))
+    ctx.enable("mul", r3, L)
+    zero = TVal(np.zeros(1, np.int64), 0, None)
+    zspan = ctx.materialize(zero)
+    ctx.copy_rows(cfg.a2, r3 + ar, zspan.col,
+                  np.broadcast_to(zspan.rows[:1], (L,)))
+
+    return TVal(iz.reshape(a.shape), 0, Span.contiguous(cfg.a2, r2, L))
+
+
+def decompose(ctx: LayoutCtx, a: TVal, base: int, legs: int,
+              zero_sign_matters: bool = True):
+    """Claimed sign-and-digit decomposition (reference `layouts.rs:6321`).
+
+    Witnesses sign s in {-1,0,1} and big-endian digits d_j in [0, base) with
+    x = s * sum_j d_j * base^(legs-1-j); range-checks both, recomposes with
+    dot gates, and copy-constrains the recomposition to x. With
+    `zero_sign_matters`, additionally enforces isZero(x) * s == 0.
+
+    Returns (sign_tv, digits_tv, abs_tv); abs_tv carries a's scale.
+    """
+    cfg = ctx.cfg
+    x = a.ints.reshape(-1)
+    L = int(x.size)
+    limit = base ** legs
+    if L and int(np.abs(x).max()) >= limit:
+        raise ValueError(
+            f"decompose: |x| up to {np.abs(x).max()} exceeds base^legs = "
+            f"{limit}; raise decomp_base/decomp_legs")
+    s = np.sign(x).astype(np.int64)
+    mag = np.abs(x)
+    digs = np.zeros((L, legs), np.int64)
+    m = mag.copy()
+    for j in range(legs - 1, -1, -1):
+        digs[:, j] = m % base
+        m //= base
+
+    d_tv = range_check(ctx, TVal(digs, 0, None, witness=True), 0, base - 1)
+    s_tv = range_check(ctx, TVal(s, 0, None, witness=True), -1, 1)
+
+    # |x| = digits . [base^(legs-1), .., base, 1] per element (dot runs)
+    pows = np.array([base ** (legs - 1 - j) for j in range(legs)], np.int64)
+    pw_tv = TVal(np.broadcast_to(pows, (L, legs)).copy(), 0, None)
+    idx = np.arange(L * legs)
+    out_vals, out_rows = _accumulate(ctx, "dot", idx, idx, d_tv, pw_tv,
+                                     L, legs)
+    abs_tv = TVal(out_vals, a.scale, Span(cfg.a2, out_rows))
+
+    # s * |x| == x (mul gate, output copy-constrained to x's home)
+    signed = pairwise(ctx, "mul", s_tv, abs_tv)
+    src = ctx.materialize(a)
+    ctx.copy_rows(signed.span.col, signed.span.rows, src.col, src.rows)
+
+    if zero_sign_matters:
+        iz = equals_zero(ctx, a)
+        sz = pairwise(ctx, "mul", s_tv, iz)
+        zero = TVal(np.zeros(1, np.int64), 0, None)
+        zspan = ctx.materialize(zero)
+        ctx.copy_rows(sz.span.col, sz.span.rows, zspan.col,
+                      np.broadcast_to(zspan.rows[:1], (L,)))
+
+    s_out = TVal(s.reshape(a.shape), 0, s_tv.span)
+    abs_out = TVal(mag.reshape(a.shape), a.scale, abs_tv.span)
+    return s_out, d_tv, abs_out
+
+
+def sign_decomp(ctx: LayoutCtx, a: TVal, base: int, legs: int) -> TVal:
+    """sign(x) in {-1,0,1} via decomposition — no table-range limit
+    (reference Sign is decompose-based, `poly.rs` Sign -> `layouts.rs`)."""
+    s, _, _ = decompose(ctx, a, base, legs, zero_sign_matters=True)
+    return s
+
+
+def abs_decomp(ctx: LayoutCtx, a: TVal, base: int, legs: int) -> TVal:
+    """|x| via decomposition (sign of 0 is free — |0| = 0 either way)."""
+    _, _, ab = decompose(ctx, a, base, legs, zero_sign_matters=False)
+    return ab
+
+
+def _bit_from_sign(ctx: LayoutCtx, s: TVal, positive: bool) -> TVal:
+    """Map s in {-1,0,1} to the bit (s == 1) (or (s == -1)): witness g,
+    constrain g in {0,1} via range check and 2g == s^2 +/- s with gates."""
+    cfg = ctx.cfg
+    sv = s.ints.reshape(-1)
+    L = int(sv.size)
+    ar = np.arange(L)
+    g = (sv == (1 if positive else -1)).astype(np.int64)
+    g_tv = range_check(ctx, TVal(g, 0, None, witness=True), 0, 1)
+    t = pairwise(ctx, "mul", s, s)                       # s^2
+    u = pairwise(ctx, "add" if positive else "sub", t, s)  # s^2 +/- s
+    # 2g == u: add gate with a0 = a1 = g, a2 copy-constrained to u
+    r = ctx.alloc(L)
+    ctx.stage_operand(g_tv, cfg.a0, r, ar)
+    ctx.stage_operand(g_tv, cfg.a1, r, ar)
+    ctx.write(cfg.a2, r, 2 * g)
+    ctx.enable("add", r, L)
+    ctx.copy_rows(cfg.a2, r + ar, u.span.col, u.span.rows)
+    return TVal(g.reshape(s.shape), 0, g_tv.span)
+
+
+def greater_decomp(ctx: LayoutCtx, a: TVal, b: TVal, base: int,
+                   legs: int) -> TVal:
+    """(a > b) with range base**legs (reference comparison family,
+    `layouts.rs:3112-3544`, routed through sign/decompose)."""
+    d = pairwise(ctx, "sub", a, b)
+    s = sign_decomp(ctx, d, base, legs)
+    return _bit_from_sign(ctx, s, positive=True)
+
+
+def less_decomp(ctx, a, b, base, legs):
+    return greater_decomp(ctx, b, a, base, legs)
+
+
+def equals_decomp(ctx: LayoutCtx, a: TVal, b: TVal) -> TVal:
+    """(a == b) via the witnessed-inverse isZero — no range limit at all."""
+    d = pairwise(ctx, "sub", a, b)
+    return equals_zero(ctx, d)
