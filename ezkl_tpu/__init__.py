@@ -12,23 +12,53 @@ __version__ = "0.1.0"
 import os as _os
 
 
+def _machine_tag() -> str:
+    """Fingerprint of the host CPU feature set. XLA:CPU stores AOT machine
+    code in the persistent cache; loading an entry compiled on a machine
+    with different vector extensions SIGILLs/segfaults at RUN time (the
+    loader only warns). The build hosts rotate, so the cache dir must be
+    keyed by this."""
+    import hashlib
+    import platform
+
+    feats = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    h = hashlib.blake2b(f"{platform.machine()};{feats}".encode(),
+                        digest_size=6).hexdigest()
+    return f"m-{h}"
+
+
+def cache_dir() -> str:
+    """The machine-keyed persistent-cache directory (shared by the package
+    import hook, tests and tools)."""
+    import pathlib
+
+    repo_root = pathlib.Path(__file__).resolve().parent.parent
+    default = (repo_root / ".cache" / "jax"
+               if (repo_root / "pyproject.toml").exists()
+               else pathlib.Path.home() / ".ezkl-tpu" / "jax-cache")
+    base = pathlib.Path(_os.environ.get("EZKL_TPU_CACHE", str(default)))
+    return str(base / _machine_tag())
+
+
 def _setup_compile_cache():
     """Enable JAX's persistent compilation cache by default — the limb
     engine produces large XLA graphs whose compiles dominate cold starts.
-    Opt out with EZKL_TPU_NO_CACHE=1; override dir with EZKL_TPU_CACHE."""
+    Opt out with EZKL_TPU_NO_CACHE=1; override base dir with EZKL_TPU_CACHE."""
     if _os.environ.get("EZKL_TPU_NO_CACHE"):
         return
     import pathlib
 
     import jax
 
-    # default: the repo-local cache (shared by tests, CLI and the driver's
-    # dryrun); falls back to ~/.ezkl-tpu for installed copies
-    repo_root = pathlib.Path(__file__).resolve().parent.parent
-    default = (repo_root / ".cache" / "jax"
-               if (repo_root / "pyproject.toml").exists()
-               else pathlib.Path.home() / ".ezkl-tpu" / "jax-cache")
-    path = pathlib.Path(_os.environ.get("EZKL_TPU_CACHE", str(default)))
+    path = pathlib.Path(cache_dir())
     try:
         path.mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", str(path))

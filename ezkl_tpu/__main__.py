@@ -91,6 +91,14 @@ def main(argv=None):
     cmd("setup")
     cmd("prove")
     cmd("verify")
+    p = cmd("swap-proof-commitments")
+    p.add_argument("--witness-path", default="witness.json")
+    p = cmd("gen-vk")
+    cmd("encode-evm-calldata")
+    p = cmd("create-evm-verifier")
+    p.add_argument("--sol-code-path", default="Verifier.sol")
+    cmd("deploy-evm")
+    cmd("verify-evm")
     p = cmd("table")
     _add_run_args(p)
     p = cmd("gen-random-data")
@@ -115,7 +123,8 @@ def main(argv=None):
         print(f"compiled -> {out}")
     elif c == "gen-witness":
         w = api.gen_witness(ns.model if ns.model != "network.onnx" else ns.compiled_circuit,
-                            ns.data, ns.output or "witness.json")
+                            ns.data, ns.output or "witness.json",
+                            srs_path=ns.srs_path)
         print(json.dumps(w["pretty_elements"], indent=1))
     elif c == "mock":
         ok = api.mock(ns.model if ns.model != "network.onnx" else ns.compiled_circuit,
@@ -140,6 +149,23 @@ def main(argv=None):
         ok = api.verify(ns.proof_path, ns.vk_path, ns.srs_path, ns.settings_path)
         print("verified" if ok else "VERIFICATION FAILED")
         sys.exit(0 if ok else 1)
+    elif c == "swap-proof-commitments":
+        ok = api.swap_proof_commitments(ns.proof_path, ns.witness_path)
+        print("commitments matched" if ok else
+              "commitments SWAPPED (proof now binds to witness commitments)")
+    elif c == "gen-vk":
+        api.gen_vk_from_pk(ns.pk_path, ns.vk_path)
+        print(f"vk written to {ns.vk_path}")
+    elif c == "encode-evm-calldata":
+        data = api.encode_evm_calldata(ns.proof_path,
+                                       ns.output or "calldata.bin")
+        print(f"calldata ({len(data)} bytes) -> {ns.output or 'calldata.bin'}")
+    elif c == "create-evm-verifier":
+        api.create_evm_verifier(ns.vk_path, ns.srs_path, ns.sol_code_path,
+                                ns.settings_path)
+        print(f"Solidity verifier -> {ns.sol_code_path}")
+    elif c in ("deploy-evm", "verify-evm"):
+        getattr(api, c.replace("-", "_"))()
     elif c == "table":
         print(api.table(ns.model, _run_args_from(ns)))
     elif c == "gen-random-data":

@@ -70,41 +70,66 @@ def _reshape_for(gc: GraphCircuit, arrays):
 
 
 def calibrate_settings(model_path, input_path, settings_path="settings.json",
-                       target="resources", scales=None) -> GraphSettings:
-    """Grid-search input/param scales (the reference's calibrate loop,
-    `execute.rs:889-1278`). target: resources (min k) | accuracy."""
+                       target="resources", scales=None,
+                       scale_rebase_multipliers=(1, 2, 10),
+                       max_logrows=None) -> GraphSettings:
+    """Grid-search (input_scale x param_scale x rebase multiplier) like the
+    reference's calibrate loop (`execute.rs:889-1278`), scoring each cell by
+    mean error vs the float forward pass and circuit size, then pick by
+    `target`: resources (min k, then error) | accuracy (min error, then k).
+
+    Emits an accuracy tear-sheet (`AccuracyResults` analog,
+    `execute.rs:790-884`) into the settings file under "calibration"."""
     base = GraphSettings.from_json(pathlib.Path(settings_path).read_text())
     scales = scales or [4, 5, 6, 7, 8, 10]
-    best = None
     data = json.loads(pathlib.Path(input_path).read_text())
+    best = None
+    tried = []
     for s in scales:
-        ra = RunArgs.from_dict({**base.run_args.to_dict(),
-                                "input_scale": s, "param_scale": s})
-        # widen lookup range with scale
-        span = max(2 ** (2 * s + 3), 2 ** 12)
-        ra.lookup_range = (-span, span)
-        try:
-            gc = GraphCircuit.from_onnx(model_path, ra)
-            arrays = _reshape_for(gc, [np.asarray(x, np.float64)
-                                       for x in data["input_data"]])
-            st = gc.gen_settings(arrays)
-            w = gc.gen_witness(arrays)
-            got = np.concatenate([np.asarray(o).reshape(-1)
-                                  for o in w["pretty_elements"]["rescaled_outputs"]])
-            want = np.concatenate([o.reshape(-1) for o in
-                                   forward_float(gc.model, arrays)])
-            denom = np.maximum(np.abs(want), 1.0)
-            err = float(np.mean(np.abs(got - want) / denom))
-            k = st.run_args.logrows
-        except (ValueError, OverflowError, NotImplementedError):
-            continue
-        score = (k, err) if target == "resources" else (err, k)
-        if best is None or score < best[0]:
-            best = (score, st)
+        for ps in {s, max(2, s - 2)}:
+            for rm in scale_rebase_multipliers:
+                ra = RunArgs.from_dict({**base.run_args.to_dict(),
+                                        "input_scale": s, "param_scale": ps,
+                                        "scale_rebase_multiplier": rm})
+                span = max(2 ** (s + ps + 3), 2 ** 12)
+                ra.lookup_range = (-span, span)
+                try:
+                    gc = GraphCircuit.from_onnx(model_path, ra)
+                    arrays = _reshape_for(gc, [np.asarray(x, np.float64)
+                                               for x in data["input_data"]])
+                    st = gc.gen_settings(arrays)
+                    if max_logrows is not None and \
+                            st.run_args.logrows > max_logrows:
+                        continue
+                    w = gc.gen_witness(arrays)
+                    got = np.concatenate([
+                        np.asarray(o).reshape(-1)
+                        for o in w["pretty_elements"]["rescaled_outputs"]])
+                    want = np.concatenate([o.reshape(-1) for o in
+                                           forward_float(gc.model, arrays)])
+                    denom = np.maximum(np.abs(want), 1.0)
+                    rel = np.abs(got - want) / denom
+                    err = float(np.mean(rel))
+                    cell = dict(input_scale=s, param_scale=ps,
+                                scale_rebase_multiplier=rm,
+                                logrows=st.run_args.logrows,
+                                mean_error=err,
+                                median_error=float(np.median(rel)),
+                                max_error=float(np.max(rel) if rel.size else 0))
+                    tried.append(cell)
+                    k = st.run_args.logrows
+                except (ValueError, OverflowError, NotImplementedError):
+                    continue
+                score = (k, err) if target == "resources" else (err, k)
+                if best is None or score < best[0]:
+                    best = (score, st, cell)
     if best is None:
         raise ValueError("calibration failed for all scale candidates")
     st = best[1]
-    pathlib.Path(settings_path).write_text(st.to_json())
+    out = json.loads(st.to_json())
+    out["calibration"] = {"target": target, "chosen": best[2],
+                          "grid": tried}
+    pathlib.Path(settings_path).write_text(json.dumps(out, indent=1))
     return st
 
 
@@ -128,12 +153,46 @@ def load_compiled(compiled_path) -> GraphCircuit:
     return GraphCircuit(model)
 
 
-def gen_witness(compiled_path, input_path, output="witness.json") -> dict:
+def gen_witness(compiled_path, input_path, output="witness.json",
+                srs_path=None) -> dict:
     gc = load_compiled(compiled_path)
     arrays = _reshape_for(gc, _load_input(input_path))
-    w = gc.gen_witness(arrays)
+    srs = None
+    if srs_path and pathlib.Path(srs_path).exists():
+        srs = srsmod.load(srs_path)
+    w = gc.gen_witness(arrays, srs=srs)
     pathlib.Path(output).write_text(json.dumps(w, indent=1))
     return w
+
+
+def swap_proof_commitments(proof_path="proof.json",
+                           witness_path="witness.json") -> bool:
+    """Overwrite the proof's advice commitments for kzgcommit-visibility
+    columns with the witness's natively-computed KZG commitments
+    (reference `swap_proof_commitments`, `src/pfsys/mod.rs:492-554`).
+
+    Returns True if every swapped commitment already matched (an honest
+    proof); the swapped proof only verifies when they do — that binding is
+    the point of the mechanism (proof splitting / external data commitments).
+    """
+    proof = json.loads(pathlib.Path(proof_path).read_text())
+    wit = json.loads(pathlib.Path(witness_path).read_text())
+    pc = wit.get("processed_commitments")
+    if not pc:
+        raise ValueError("witness has no processed_commitments "
+                         "(no kzgcommit-visibility columns)")
+    all_matched = True
+    for idx, comm in zip(pc["advice_indices"], pc["polycommit"]):
+        new = None if comm is None else [hex(int(comm[0], 16)),
+                                         hex(int(comm[1], 16))]
+        old = proof["advice"][idx]
+        norm = None if old is None else [hex(int(old[0], 16)),
+                                         hex(int(old[1], 16))]
+        if norm != new:
+            all_matched = False
+        proof["advice"][idx] = new
+    pathlib.Path(proof_path).write_text(json.dumps(proof, indent=1))
+    return all_matched
 
 
 def mock(compiled_path, input_path) -> bool:
@@ -187,19 +246,31 @@ def _srs_for(gc: GraphCircuit, srs_path):
     return s
 
 
+def _make_transcript(kind):
+    """None/'blake2b' -> default; 'evm' -> keccak/big-endian transcript the
+    generated Solidity verifier replays."""
+    if kind in (None, "blake2b", "poseidon"):
+        return None
+    if kind == "evm":
+        from .plonk.transcript import EvmTranscript
+        return EvmTranscript()
+    raise ValueError(f"unknown transcript kind {kind!r}")
+
+
 def prove(compiled_path, input_path, pk_path="pk.key", srs_path=None,
-          proof_path="proof.json"):
+          proof_path="proof.json", transcript=None):
     gc = load_compiled(compiled_path)
     arrays = _reshape_for(gc, _load_input(input_path))
     s = _srs_for(gc, srs_path)
     pk = serde_mod.load_pk(pk_path)
-    proof, _ = gc.prove(arrays, s, pk=pk)
+    proof, _ = gc.prove(arrays, s, pk=pk,
+                        transcript=_make_transcript(transcript))
     pathlib.Path(proof_path).write_text(proof.to_json())
     return proof
 
 
 def verify(proof_path="proof.json", vk_path="vk.key", srs_path=None,
-           settings_path=None) -> bool:
+           settings_path=None, transcript=None) -> bool:
     vk = serde_mod.load_vk(vk_path)
     if srs_path and pathlib.Path(srs_path).exists():
         s = srsmod.load(srs_path)
@@ -207,9 +278,43 @@ def verify(proof_path="proof.json", vk_path="vk.key", srs_path=None,
         s = srsmod.get_or_create(vk.k)
     proof = Proof.from_json(pathlib.Path(proof_path).read_text())
     try:
-        return verifier_mod.verify(vk, s.g2, s.s_g2, proof)
+        return verifier_mod.verify(vk, s.g2, s.s_g2, proof,
+                                   transcript=_make_transcript(transcript))
     except (KeyError, IndexError, ValueError, AssertionError):
         return False  # malformed proof = invalid
+
+
+def create_evm_verifier(vk_path="vk.key", srs_path=None,
+                        sol_path="Verifier.sol", settings_path=None) -> str:
+    """Generate a standalone Solidity verifier contract for this circuit
+    (reference `create-evm-verifier`, `src/execute.rs:1306-1340`). Prove
+    with transcript='evm' for proofs the contract accepts. The zero-egress
+    environment has no solc/EVM; deployment/on-chain verification are left
+    to the user's toolchain (`forge create` / `cast call`)."""
+    from .evm import generate_verifier
+    vk = serde_mod.load_vk(vk_path)
+    if srs_path and pathlib.Path(srs_path).exists():
+        s = srsmod.load(srs_path)
+    else:
+        s = srsmod.get_or_create(vk.k)
+    sol = generate_verifier(vk, s.g2, s.s_g2)
+    pathlib.Path(sol_path).write_text(sol)
+    return sol
+
+
+def deploy_evm(*_a, **_k):
+    raise RuntimeError(
+        "deploy-evm needs an RPC endpoint; this environment is zero-egress. "
+        "Compile Verifier.sol with solc/foundry and deploy with your own "
+        "toolchain (reference flow: src/eth.rs:162).")
+
+
+def verify_evm(*_a, **_k):
+    raise RuntimeError(
+        "verify-evm needs an RPC endpoint; this environment is zero-egress. "
+        "Call verifyProof(proof, instances) with the output of "
+        "encode_evm_calldata on your deployed contract "
+        "(reference flow: src/eth.rs:238).")
 
 
 def gen_random_data(model_path, output="input.json", seed=0):

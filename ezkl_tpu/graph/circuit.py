@@ -99,7 +99,26 @@ class GraphCircuit:
                 base = len(ctx.instance_vals)
                 ctx.instance_vals.append(hv)
                 ctx.copy_rows(cfg.instance, [base], span.col, span.rows)
-        elif ra.input_visibility == "public":
+        if ra.param_visibility == "hashed":
+            # params already live in advice (model.layout); hash each into
+            # the instance (reference hashed-params, `graph/modules.rs`)
+            mod = get_poseidon(cfg)
+            for tv in getattr(ctx, "_param_tvals", []):
+                hv, span = mod.hash(ctx, tv)
+                base = len(ctx.instance_vals)
+                ctx.instance_vals.append(hv)
+                ctx.copy_rows(cfg.instance, [base], span.col, span.rows)
+        if ra.output_visibility == "kzgcommit":
+            # copy each output into a dedicated unblinded column; its
+            # advice commitment IS the public KZG commitment of the data
+            for tv in outputs:
+                col = cfg.polycommit_column()
+                flat = tv.ints.reshape(-1)
+                r = ctx.alloc(flat.size)
+                ctx.write(col, r, flat)
+                ctx.copy_rows(col, r + np.arange(flat.size),
+                              tv.span.col, tv.span.rows)
+        if ra.input_visibility == "public":
             for tv in self._input_tvals(ctx):
                 flat = tv.ints.reshape(-1)
                 base = len(ctx.instance_vals)
@@ -170,7 +189,7 @@ class GraphCircuit:
         cfg, ctx, outputs = self._run_layout(input_arrays, k)
         return cfg, ctx, outputs
 
-    def gen_witness(self, input_arrays) -> dict:
+    def gen_witness(self, input_arrays, srs: "srsmod.SRS | None" = None) -> dict:
         cfg, ctx, outputs = self.forward(input_arrays)
         out = {
             "inputs": [[_felt_hex(int(v)) for v in quantized.reshape(-1)]
@@ -186,6 +205,27 @@ class GraphCircuit:
             },
             "max_row": ctx.row,
         }
+        if cfg.polycommit_cols:
+            # native KZG commitments of the unblinded columns — the
+            # reference's GraphModules::forward polycommit step
+            # (`graph/modules.rs:289-335`); needs the SRS at witness time
+            # exactly like `execute.rs:609-614`
+            if srs is None:
+                srs = srsmod.get_or_create(self.run_args.logrows)
+            asg = ctx.finalize()
+            from ..plonk import kzg
+            from ..fieldmath import curve
+            adv = asg.device_columns("advice")
+            comms = []
+            for col in cfg.polycommit_cols:
+                pt = kzg.commit_lagrange(srs, adv[col.index])
+                (dec,) = curve.decode_points(pt)
+                comms.append(
+                    [hex(dec[0]), hex(dec[1])] if dec else None)  # Fq coords
+            out["processed_commitments"] = {
+                "advice_indices": [c.index for c in cfg.polycommit_cols],
+                "polycommit": comms,
+            }
         return out
 
     def _quantized_inputs(self, input_arrays):
@@ -214,14 +254,15 @@ class GraphCircuit:
         pk = keygen.keygen(cfg.cs, self.run_args.logrows, srs, asg)
         return pk, asg
 
-    def prove(self, input_arrays, srs: srsmod.SRS, pk=None):
+    def prove(self, input_arrays, srs: srsmod.SRS, pk=None, transcript=None):
         if pk is None:
             pk, asg = self.setup(input_arrays, srs)
         else:
             cfg, ctx, _ = self.forward(input_arrays)
             asg = ctx.finalize()
-        return prover.create_proof(pk, srs, asg), pk
+        return prover.create_proof(pk, srs, asg, transcript=transcript), pk
 
     @staticmethod
-    def verify(vk, srs: srsmod.SRS, proof) -> bool:
-        return verifier.verify(vk, srs.g2, srs.s_g2, proof)
+    def verify(vk, srs: srsmod.SRS, proof, transcript=None) -> bool:
+        return verifier.verify(vk, srs.g2, srs.s_g2, proof,
+                               transcript=transcript)

@@ -60,6 +60,16 @@ class BaseConfig:
         cs.create_gate("prod", q["prod"] * (v2p * v0 - v2))
 
         self.tables: dict[str, dict] = {}        # name -> table info
+        # dedicated UNBLINDED advice columns whose commitment doubles as a
+        # public KZG commitment of the data laid in them (kzgcommit
+        # visibility; reference PolyCommitChip, `polycommit.rs:44-107`)
+        self.polycommit_cols: list = []
+
+    def polycommit_column(self):
+        col = self.cs.advice_column(unblinded=True)
+        self.cs.enable_equality(col)
+        self.polycommit_cols.append(col)
+        return col
 
     def ensure_table(self, name: str, inputs: np.ndarray, outputs: np.ndarray):
         """Create (or fetch) a lookup table + its logup argument.
@@ -224,6 +234,62 @@ class LayoutCtx:
         res = TVal(out.reshape(tv.shape), out_scale,
                    Span.contiguous(self.cfg.a1, r, int(x.size)))
         return res
+
+    # -- dynamic lookup (advice-table) ---------------------------------------
+
+    def dynamic_lookup_gather(self, data_tv: TVal, idx_tv: TVal,
+                              out_scale: int | None = None) -> TVal:
+        """out[i] = data[idx[i]] via a logup argument whose TABLE is witness
+        data — the reference's dynamic-lookup argument
+        (`/root/reference/src/circuit/ops/layouts.rs:1483`,
+        `ops/chip.rs:619-714`). Cost is L + N rows instead of the one-hot
+        indicator formulation's O(L*N).
+
+        Layout: a table region of L rows holds (pos_j, data_j) —
+        pos in a per-call fixed column, values copied into a1 — gated by a
+        fixed selector; a lookup region of N rows holds (idx_i, out_i) in
+        (a0, a1) gated by another selector. Inactive rows on both sides
+        evaluate to the sentinel pair (-1, 0), which only inactive table
+        rows produce (real pos >= 0)."""
+        cfg = self.cfg
+        cs = cfg.cs
+        data = data_tv.ints.reshape(-1)
+        idx = idx_tv.ints.reshape(-1)
+        L, N = int(data.size), int(idx.size)
+        if idx.size and (idx.min() < 0 or idx.max() >= L):
+            raise ValueError(f"gather index out of range [0, {L})")
+        out = data[idx]
+
+        q_t = cs.fixed_column()
+        q_in = cs.fixed_column()
+        pos_col = cs.fixed_column()
+
+        # table region: (pos, value)
+        rt = self.alloc(L)
+        self.stage_operand(data_tv, cfg.a1, rt, np.arange(L))
+        self._arr(pos_col)[rt:rt + L] = np.arange(L)
+        self._arr(q_t)[rt:rt + L] = 1
+
+        # lookup region: (idx, out)
+        rin = self.alloc(N)
+        self.stage_operand(idx_tv, cfg.a0, rin, np.arange(N))
+        self.write(cfg.a1, rin, out)
+        self._arr(q_in)[rin:rin + N] = 1
+
+        qi = cs.query(q_in)
+        qt = cs.query(q_t)
+        one = csmod.Constant(1)
+        neg1 = csmod.Constant(-1)
+        in_i = qi * cs.query(cfg.a0) + (one - qi) * neg1
+        in_o = qi * cs.query(cfg.a1)
+        t_i = qt * cs.query(pos_col) + (one - qt) * neg1
+        t_o = qt * cs.query(cfg.a1)
+        name = f"dyn_gather_{len(cs.lookups)}"
+        cs.add_lookup(name, [(in_i, in_o)], (t_i, t_o))
+
+        sc = data_tv.scale if out_scale is None else out_scale
+        return TVal(out.reshape(idx_tv.shape), sc,
+                    Span.contiguous(cfg.a1, rin, N))
 
     # -- finalize -----------------------------------------------------------
 

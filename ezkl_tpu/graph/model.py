@@ -64,22 +64,36 @@ class Model:
         g = self.onnx.graph
         values: dict[str, TVal] = {}
 
-        # graph inputs: quantize + place in advice
+        # graph inputs: quantize + place in advice (kzgcommit visibility
+        # gets a dedicated unblinded column per input tensor)
         ctx._input_tvals = []
         for ti, arr, in_scale in zip(g.inputs, input_arrays, self.input_scales()):
             q = quantize(arr, in_scale)
             tv = TVal(q, in_scale, None)
-            ctx.materialize(tv, col=ctx.cfg.a0)
+            icol = (ctx.cfg.polycommit_column()
+                    if ra.input_visibility == "kzgcommit" else ctx.cfg.a0)
+            ctx.materialize(tv, col=icol)
             values[ti.name] = tv
             ctx._input_tvals.append(tv)
 
         # initializers: params, quantized at param_scale, lazily placed
+        # (fixed visibility); hashed/kzgcommit params are placed in advice
+        # up-front — soundness then comes from the public hash / commitment
+        # (`/root/reference/src/graph/modules.rs:230-287`)
+        ctx._param_tvals = []
         for name, arr in g.initializers.items():
             if np.issubdtype(arr.dtype, np.floating):
                 values[name] = TVal(quantize(arr, ra.param_scale),
                                     ra.param_scale, None)
+                ctx._param_tvals.append(values[name])
             else:
                 values[name] = TVal(arr.astype(np.int64), 0, None)
+        if ra.param_visibility == "kzgcommit":
+            for tv in ctx._param_tvals:
+                ctx.materialize(tv, col=ctx.cfg.polycommit_column())
+        elif ra.param_visibility == "hashed":
+            for tv in ctx._param_tvals:
+                ctx.materialize(tv, col=ctx.cfg.a0)
 
         max_scale = ra.input_scale * ra.scale_rebase_multiplier
 
@@ -151,6 +165,15 @@ class Model:
                 arr = node.attrs.get("value")
                 if np.issubdtype(arr.dtype, np.floating):
                     out = TVal(quantize(arr, ra.param_scale), ra.param_scale, None)
+                    # Const-node params follow param_visibility like
+                    # initializers (hashed -> advice + hash; kzgcommit ->
+                    # dedicated unblinded column)
+                    if ra.param_visibility == "kzgcommit":
+                        ctx.materialize(out, col=ctx.cfg.polycommit_column())
+                        ctx._param_tvals.append(out)
+                    elif ra.param_visibility == "hashed":
+                        ctx.materialize(out, col=ctx.cfg.a0)
+                        ctx._param_tvals.append(out)
                 else:
                     out = TVal(arr.astype(np.int64), 0, None)
             elif op == "Softmax":
@@ -785,65 +808,77 @@ class Model:
             out = TVal(out.ints.reshape(shp), 0, out.span)
         return out
 
-    # -- dynamic (witness-index) gather/scatter via one-hot indicators ------
-    # out = sum_j eq(idx, j) * data[j]; sound because eq comes from the
-    # is_zero lookup (the reference routes these through its dynamic-lookup
-    # argument, `layouts.rs:1483`; the indicator sum is the TPU-friendly
-    # equivalent for small gathered axes).
+    # -- dynamic (witness-index) gather via the dynamic-lookup argument -----
+    # (reference `layouts.rs:1483`, `ops/chip.rs:619-714`): L + 3N rows.
+    # Scatter still uses one-hot indicators (needs a mask/uniqueness
+    # argument, not just membership).
 
     def _eq_const(self, ctx, idx: TVal, j: int) -> TVal:
         jc = TVal(np.full(1, j, np.int64), 0, None)
         return ops.equals(ctx, idx, jc, self.run_args.lookup_range)
 
+    def _flat_dynamic_index(self, ctx, indices: TVal, scale_const: int,
+                            offsets: np.ndarray) -> TVal:
+        """lin = idx * scale_const + offsets as constrained scale-0
+        arithmetic; `offsets` may broadcast indices up (pairwise handles
+        the span bookkeeping)."""
+        lin = (indices if scale_const == 1
+               else ops.const_mul(ctx, indices, int(scale_const)))
+        if offsets.any() or offsets.shape != lin.ints.shape:
+            lin = ops.pairwise(ctx, "add", lin,
+                               TVal(np.ascontiguousarray(offsets, np.int64),
+                                    0, None))
+        return lin
+
     def _dynamic_gather(self, ctx, data: TVal, indices: TVal, axis: int) -> TVal:
+        """Witness-index gather via the dynamic-lookup argument
+        (`layouts.rs:1483`): linearize indices, then one logup of
+        (lin, out) rows against the (pos, value) advice table. L + 3N rows
+        instead of the old one-hot indicator formulation's O(L*N)."""
         assert indices.scale == 0, "gather indices must be integer-typed"
         L = data.shape[axis]
-        if L > 4096:
-            raise NotImplementedError(f"dynamic Gather over axis of {L}")
-        flat_idx = TVal(indices.ints.reshape(-1), 0, indices.span)
-        n_idx = flat_idx.ints.size
-        grid = np.arange(data.ints.size).reshape(data.shape)
-        acc = None
-        for j in range(L):
-            eq = self._eq_const(ctx, flat_idx, j)                  # (n_idx,)
-            slc = np.take(grid, j, axis=axis)
-            dsub = ops.reindex(data, slc.reshape(-1), slc.shape)
-            eqb = TVal(eq.ints.reshape((n_idx,) + (1,) * dsub.ints.ndim),
-                       0, eq.span)
-            dsubb = TVal(dsub.ints.reshape((1,) + dsub.ints.shape),
-                         dsub.scale, dsub.span)
-            term = ops.pairwise(ctx, "mul", eqb, dsubb)
-            acc = term if acc is None else ops.pairwise(ctx, "add", acc, term)
         pre = data.shape[:axis]
         post = data.shape[axis + 1:]
-        # acc: (n_idx,) + pre + post -> (pre, idx.shape, post)
-        nd = acc.ints.ndim
-        perm = (list(range(1, 1 + len(pre))) + [0]
-                + list(range(1 + len(pre), nd)))
-        moved = ops.transpose(ctx, acc, perm)
-        return TVal(moved.ints.reshape(pre + indices.shape + post),
-                    moved.scale, moved.span)
+        npre = int(np.prod(pre, dtype=np.int64)) or 1
+        npost = int(np.prod(post, dtype=np.int64)) or 1
+        K = int(indices.ints.size)
+        # output element (ip, k, jp) reads flat data index (ip*L + idx[k])*npost + jp
+        out_shape = (npre, K, npost)
+        idx_r = TVal(indices.ints.reshape(1, K, 1), 0, indices.span)
+        offs = np.ascontiguousarray(np.broadcast_to(
+            np.arange(npre).reshape(-1, 1, 1) * (L * npost)
+            + np.arange(npost).reshape(1, 1, -1), out_shape))
+        lin = self._flat_dynamic_index(ctx, idx_r, npost, offs)
+        flat_data = TVal(data.ints.reshape(-1), data.scale, data.span)
+        out = ctx.dynamic_lookup_gather(flat_data, lin)
+        return TVal(out.ints.reshape(pre + indices.shape + post),
+                    out.scale, out.span)
 
     def _gather_elements_dyn(self, ctx, data: TVal, indices: TVal,
                              axis: int) -> TVal:
+        """GatherElements with witness indices: out[i.., k, j..] =
+        data[i.., idx[i.., k, j..], j..] — same dynamic-lookup reduction."""
         assert indices.scale == 0
+        shp = indices.shape
+        grid = np.indices(shp)
         L = data.shape[axis]
-        if L > 4096:
-            raise NotImplementedError(f"dynamic GatherElements over axis {L}")
-        grid = np.arange(data.ints.size).reshape(data.shape)
-        acc = None
-        for j in range(L):
-            eq = self._eq_const(
-                ctx, TVal(indices.ints.reshape(-1), 0, indices.span), j)
-            eq = TVal(eq.ints.reshape(indices.shape), 0, eq.span)
-            slc = np.take(grid, j, axis=axis)
-            dsub = ops.reindex(data, slc.reshape(-1), slc.shape)
-            shp = list(dsub.ints.shape)
-            shp.insert(axis, 1)
-            dsubb = TVal(dsub.ints.reshape(shp), dsub.scale, dsub.span)
-            term = ops.pairwise(ctx, "mul", eq, dsubb)
-            acc = term if acc is None else ops.pairwise(ctx, "add", acc, term)
-        return acc
+        npost = int(np.prod(data.shape[axis + 1:], dtype=np.int64)) or 1
+        # flat data index = (pre_index*L + idx)*npost + post_index
+        pre_lin = np.zeros(shp, np.int64)
+        post_lin = np.zeros(shp, np.int64)
+        stride = 1
+        for d in range(data.ints.ndim - 1, axis, -1):
+            post_lin += grid[d] * stride
+            stride *= data.shape[d]
+        stride = 1
+        for d in range(axis - 1, -1, -1):
+            pre_lin += grid[d] * stride
+            stride *= data.shape[d]
+        offs = pre_lin * (L * npost) + post_lin
+        lin = self._flat_dynamic_index(ctx, indices, npost, offs)
+        flat_data = TVal(data.ints.reshape(-1), data.scale, data.span)
+        out = ctx.dynamic_lookup_gather(flat_data, lin)
+        return TVal(out.ints.reshape(shp), out.scale, out.span)
 
     def _linearize_nd_index(self, ctx, indices: TVal, dims: tuple) -> TVal:
         """Fold the last-dim components of an ND index into a flat index:

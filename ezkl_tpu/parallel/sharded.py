@@ -40,6 +40,36 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 # ---------------------------------------------------------------------------
+# active-mesh registry: set a mesh here (or EZKL_TPU_MESH=<n>) and the
+# prover's KZG commits dispatch through `msm_sharded` — multi-chip proving
+# as a create_proof capability, not a side demo.
+# ---------------------------------------------------------------------------
+
+_ACTIVE_MESH: Mesh | None = None
+_ENV_CHECKED = False
+
+
+def set_mesh(mesh: Mesh | None):
+    """Install (or clear, with None) the mesh used by prover commits."""
+    global _ACTIVE_MESH, _ENV_CHECKED
+    _ACTIVE_MESH = mesh
+    _ENV_CHECKED = True
+
+
+def active_mesh() -> Mesh | None:
+    global _ACTIVE_MESH, _ENV_CHECKED
+    if not _ENV_CHECKED:
+        _ENV_CHECKED = True
+        import os
+        env = os.environ.get("EZKL_TPU_MESH")
+        if env:
+            n = int(env)
+            if n > 1 and len(jax.devices()) >= n:
+                _ACTIVE_MESH = make_mesh(n)
+    return _ACTIVE_MESH
+
+
+# ---------------------------------------------------------------------------
 # MSM
 # ---------------------------------------------------------------------------
 

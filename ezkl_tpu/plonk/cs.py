@@ -220,6 +220,11 @@ class ConstraintSystem:
     num_advice: int = 0
     num_instance: int = 0
     advice_phase: list[int] = dataclasses.field(default_factory=list)
+    # unblinded advice columns (reference `var.rs:73` new_unblinded_advice):
+    # the prover skips ZK blinding rows so the column commitment equals the
+    # KZG commitment of the data — the PolyCommit/kzgcommit-visibility
+    # mechanism (`/root/reference/src/circuit/modules/polycommit.rs:44-107`)
+    advice_unblinded: list[bool] = dataclasses.field(default_factory=list)
     gates: list[Gate] = dataclasses.field(default_factory=list)
     lookups: list[Lookup] = dataclasses.field(default_factory=list)
     shuffles: list["Shuffle"] = dataclasses.field(default_factory=list)
@@ -232,9 +237,10 @@ class ConstraintSystem:
         self.num_fixed += 1
         return Column(FIXED, self.num_fixed - 1)
 
-    def advice_column(self, phase: int = 0) -> Column:
+    def advice_column(self, phase: int = 0, unblinded: bool = False) -> Column:
         self.num_advice += 1
         self.advice_phase.append(phase)
+        self.advice_unblinded.append(unblinded)
         return Column(ADVICE, self.num_advice - 1)
 
     def instance_column(self) -> Column:

@@ -45,21 +45,44 @@ def _jitted_commit(m: int, lagrange: bool):
     return run
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_to_raw(lagrange: bool):
+    @jax.jit
+    def run(vals):
+        if lagrange:
+            vals = nttmod.intt(FR, vals)
+        return limbs.from_mont(FR, vals)
+
+    return run
+
+
+def _commit(srs: SRS, vals: jnp.ndarray, lagrange: bool) -> PointP:
+    """Commit dispatch: multi-chip via `parallel.sharded.msm_sharded` when a
+    mesh is active (set_mesh / EZKL_TPU_MESH) and the size shards evenly;
+    single-device otherwise."""
+    m = vals.shape[-1]
+    assert m <= srs.n, "poly too long for SRS"
+    pts = jax.tree.map(lambda a: a[..., :m], srs.g1)
+    from ..parallel import sharded
+    mesh = sharded.active_mesh()
+    if mesh is not None:
+        d = mesh.devices.size
+        local = m // d if m % d == 0 else 0
+        if local >= 1 and (local & (local - 1)) == 0:
+            raw = _jitted_to_raw(lagrange)(vals)
+            return sharded.msm_sharded(mesh, pts, raw)
+    return _jitted_commit(m, lagrange)(pts, vals)
+
+
 def commit_coeff(srs: SRS, coeffs: jnp.ndarray) -> PointP:
     """Commitment to a coefficient-form poly (16, m), m <= srs.n, m a power
     of two."""
-    m = coeffs.shape[-1]
-    assert m <= srs.n, "poly too long for SRS"
-    pts = jax.tree.map(lambda a: a[..., :m], srs.g1)
-    return _jitted_commit(m, False)(pts, coeffs)
+    return _commit(srs, coeffs, lagrange=False)
 
 
 def commit_lagrange(srs: SRS, evals: jnp.ndarray) -> PointP:
     """Commitment to a poly given by evals over H (|H| = len)."""
-    m = evals.shape[-1]
-    assert m <= srs.n
-    pts = jax.tree.map(lambda a: a[..., :m], srs.g1)
-    return _jitted_commit(m, True)(pts, evals)
+    return _commit(srs, evals, lagrange=True)
 
 
 @functools.lru_cache(maxsize=32)

@@ -358,12 +358,14 @@ class ProverKernels:
                     c = cs.perm_columns[j]
                     v = cols_ext[c.kind][c.index]
                     idj = limbs.mont_mul(FR, dpow[:, j][:, None], coset_pts)
-                    a = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                    # NOTE: must not shadow the closure's closing-row `a`
+                    # (read by the perm_bound carry branch below)
+                    fa = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
                         FR, jnp.broadcast_to(bb, idj.shape), idj)), gg)
-                    b = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
+                    fb = limbs.add(FR, limbs.add(FR, v, limbs.mont_mul(
                         FR, jnp.broadcast_to(bb, v.shape), sig_ext[j])), gg)
-                    num = a if num is None else limbs.mont_mul(FR, num, a)
-                    den = b if den is None else limbs.mont_mul(FR, den, b)
+                    num = fa if num is None else limbs.mont_mul(FR, num, fa)
+                    den = fb if den is None else limbs.mont_mul(FR, den, fb)
                 running = limbs.sub(FR, limbs.mont_mul(FR, z_next, den),
                                     limbs.mont_mul(FR, z_e, num))
                 return limbs.mont_mul(FR, not_last, running)
@@ -548,12 +550,19 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     a = kern.a
     rng = _rng_for_proof(seed)
 
-    def blind_tail(cols):
-        """Randomize rows (a, n) of a (..., 16, n) Montgomery column stack."""
+    def blind_tail(cols, unblinded_mask=None):
+        """Randomize rows (a, n) of a (..., 16, n) Montgomery column stack.
+
+        unblinded_mask: optional (C,) bool — columns whose tail must stay
+        untouched (kzgcommit/polycommit columns: their commitment must equal
+        the plain KZG commitment of the data, `polycommit.rs:44-107`)."""
         nb = n - a - 1
         r = _random_mont(rng, cols.shape[:-2] + (nb,))
         if cols.ndim == 3:
             r = jnp.moveaxis(r, 1, 0)         # (C, 16, nb)
+            if unblinded_mask is not None and unblinded_mask.any():
+                keep = jnp.asarray(unblinded_mask)[:, None, None]
+                r = jnp.where(keep, cols[:, :, a + 1:], r)
             return cols.at[:, :, a + 1:].set(r)
         return cols.at[:, a + 1:].set(r)
 
@@ -568,7 +577,9 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     p0_cols = [i for i in range(cs.num_advice) if phases[i] == 0]
     p1_cols = [i for i in range(cs.num_advice) if phases[i] != 0]
 
-    advice_l = blind_tail(asg.device_columns(ADVICE))  # (na, 16, n) mont
+    unbl = np.asarray([bool(b) for b in cs.advice_unblinded], bool) \
+        if cs.advice_unblinded else np.zeros(cs.num_advice, bool)
+    advice_l = blind_tail(asg.device_columns(ADVICE), unbl)  # (na, 16, n)
     advice_comms: dict[int, object] = {}
     for i in p0_cols:
         c = decode_point_host(kzg.commit_lagrange(srs, advice_l[i]))
@@ -578,7 +589,7 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     ch_dev = [limbs.const(FR, v) for v in challenges]
     if p1_cols:
         asg.apply_phase1({i: v for i, v in enumerate(challenges)})
-        refreshed = blind_tail(asg.device_columns(ADVICE))
+        refreshed = blind_tail(asg.device_columns(ADVICE), unbl)
         # keep the already-committed phase-0 blinding rows byte-identical
         keep = jnp.asarray([phases[i] == 0 for i in range(cs.num_advice)])
         advice_l = jnp.where(keep[:, None, None], advice_l, refreshed)

@@ -73,6 +73,7 @@ def cs_to_obj(cs: ConstraintSystem) -> dict:
         "num_advice": cs.num_advice,
         "num_instance": cs.num_instance,
         "advice_phase": list(cs.advice_phase),
+        "advice_unblinded": [bool(b) for b in cs.advice_unblinded],
         "num_challenges": cs.num_challenges,
         "gates": [[g.name, expr_to_obj(g.poly)] for g in cs.gates],
         "lookups": [
@@ -97,6 +98,9 @@ def cs_from_obj(d: dict) -> ConstraintSystem:
         num_advice=d["num_advice"],
         num_instance=d["num_instance"],
         advice_phase=list(d["advice_phase"]),
+        advice_unblinded=[bool(b) for b in
+                          d.get("advice_unblinded",
+                                [False] * d["num_advice"])],
         num_challenges=d["num_challenges"],
     )
     cs.gates = [Gate(name, expr_from_obj(o)) for name, o in d["gates"]]

@@ -69,6 +69,39 @@ class KeccakTranscript(Transcript):
         return h1 + keccak256(h1 + data)
 
 
+class EvmTranscript:
+    """EVM-native transcript: keccak256 state chaining, 32-byte BIG-endian
+    encodings, single-squeeze challenges — what the generated Solidity
+    verifier replays (reference EvmTranscript from snark-verifier,
+    `src/pfsys/mod.rs:32-37`; ours matches our own protocol).
+
+    absorb:    state = keccak256(state || 0x01 || data)
+    challenge: out = keccak256(state || 0x00); state = keccak256(state ||
+               0x02 || out); value = int_be(out) mod r
+    """
+
+    def __init__(self, label: bytes = b"ezkl-tpu-evm"):
+        self._state = keccak256(label)
+
+    def common_bytes(self, data: bytes):
+        self._state = keccak256(self._state + b"\x01" + data)
+
+    def common_scalar(self, x: int):
+        self.common_bytes(int(x % FR_MODULUS).to_bytes(32, "big"))
+
+    def common_point(self, pt):
+        if pt is None:
+            self.common_bytes(b"\x00" * 64)
+        else:
+            self.common_bytes(int(pt[0]).to_bytes(32, "big")
+                              + int(pt[1]).to_bytes(32, "big"))
+
+    def challenge(self) -> int:
+        out = keccak256(self._state + b"\x00")
+        self._state = keccak256(self._state + b"\x02" + out)
+        return int.from_bytes(out, "big") % FR_MODULUS
+
+
 def decode_point_host(pt: curve.PointP):
     """Device PointP (batch ()) -> host affine tuple or None."""
     batched = curve.PointP(pt.x[:, None], pt.y[:, None], pt.z[:, None])

@@ -23,10 +23,15 @@ import jax  # noqa: E402
 # the env var above was read too early — force the config directly.
 jax.config.update("jax_platforms", "cpu")
 
-_cache_dir = pathlib.Path(__file__).resolve().parent.parent / ".cache" / "jax"
+import sys  # noqa: E402
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import ezkl_tpu  # noqa: E402
+
+# machine-keyed cache dir: XLA:CPU AOT entries from another build host
+# SIGILL at run time (see ezkl_tpu.cache_dir)
+_cache_dir = pathlib.Path(ezkl_tpu.cache_dir())
 _cache_dir.mkdir(parents=True, exist_ok=True)
-# ezkl_tpu.__init__ also configures the cache; point it at the same warm dir
-os.environ.setdefault("EZKL_TPU_CACHE", str(_cache_dir))
 jax.config.update("jax_compilation_cache_dir", str(_cache_dir))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -1,0 +1,113 @@
+"""EVM layer: EvmTranscript proofs, Solidity verifier generation, and the
+expression-codegen equivalence oracle (reference L6; the environment has no
+solc/EVM, so the contract's logic is validated through its Python-rendered
+twin + the transcript it replays)."""
+
+import numpy as np
+import pytest
+
+from ezkl_tpu.fieldmath.spec import FR_MODULUS
+from ezkl_tpu.plonk import cs as csmod
+from ezkl_tpu.plonk import keygen, prover, srs as srsmod, verifier
+from ezkl_tpu.plonk.transcript import EvmTranscript
+from ezkl_tpu.evm import solidity
+
+from test_plonk import K, build_circuit, build_assignment
+
+
+@pytest.fixture(scope="module")
+def proven():
+    cs, cols = build_circuit()
+    asg = build_assignment(cs, cols)
+    srs = srsmod.gen_srs(K)
+    pk = keygen.keygen(cs, K, srs, asg)
+    proof = prover.create_proof(pk, srs, asg, transcript=EvmTranscript())
+    return cs, pk, srs, proof
+
+
+def test_evm_transcript_prove_verify(proven):
+    cs, pk, srs, proof = proven
+    assert verifier.verify(pk.vk, srs.g2, srs.s_g2, proof,
+                           transcript=EvmTranscript())
+    # default (blake2b) transcript derives different challenges -> reject
+    assert not verifier.verify(pk.vk, srs.g2, srs.s_g2, proof)
+
+
+def test_generated_solidity_structure(proven):
+    cs, pk, srs, proof = proven
+    sol = solidity.generate_verifier(pk.vk, srs.g2, srs.s_g2)
+    assert sol.count("{") == sol.count("}")
+    assert "function verifyProof(bytes calldata proof" in sol
+    assert "staticcall(gas(), 0x08" in sol           # pairing precompile
+    assert hex(FR_MODULUS) in sol
+    # proof length in the contract == calldata length minus the instances
+    import json
+    labels = solidity.eval_label_list(pk.vk)
+    assert sorted(proof.evals) == labels
+    n_inst = sum(len(c) for c in proof.instances)
+    from ezkl_tpu import api
+    import pathlib, tempfile
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "proof.json"
+        p.write_text(proof.to_json())
+        data = api.encode_evm_calldata(str(p), output=None)
+    expect = len(data) - 32 * n_inst
+    assert f"proof.length == {expect}" in sol
+
+
+def test_opening_groups_match_verifier(proven):
+    """The generator's multiopen group tables must mirror the live verifier:
+    same rotation set and same number of opening commitments."""
+    cs, pk, srs, proof = proven
+    groups = solidity.opening_groups(pk.vk)
+    assert len(groups) == len(proof.opening_commitments)
+    total_items = sum(len(v) for v in groups.values())
+    labels = solidity.eval_label_list(pk.vk)
+    assert total_items >= len(labels)  # every eval is opened at least once
+
+
+def test_expr_codegen_matches_evaluator():
+    """Render gate expressions to Python (same tree walk as the Solidity
+    render) and check against evaluate_at_point on random assignments."""
+    from ezkl_tpu.plonk.evaluator import evaluate_at_point
+
+    cs, cols = build_circuit()
+    rng = np.random.default_rng(0)
+    qv = {}
+    for q in cs.all_queries():
+        qv[(q.column.kind, q.column.index, q.rotation)] = int(
+            rng.integers(0, 2**63))
+
+    def var_ref(kind, index, rotation):
+        return f"qv[({kind!r}, {index}, {rotation})]"
+
+    def ch_ref(i):
+        raise AssertionError("no challenges in this circuit")
+
+    ns = {
+        "qv": qv,
+        "R": FR_MODULUS,
+        "mulmod": lambda a, b, m: (a * b) % m,
+        "addmod": lambda a, b, m: (a + b) % m,
+    }
+    for g in cs.gates:
+        code = solidity.expr_code(g.poly, var_ref, ch_ref, lang="py")
+        got = eval(code, ns)
+        want = evaluate_at_point(g.poly, qv, {})
+        assert got == want % FR_MODULUS
+
+
+def test_api_create_evm_verifier(tmp_path, monkeypatch, proven):
+    cs, pk, srs, proof = proven
+    monkeypatch.chdir(tmp_path)
+    from ezkl_tpu import api
+    from ezkl_tpu.plonk import serde as serde_mod
+    serde_mod.save_vk(pk.vk, "vk.key")
+    srsmod.save(srs, "kzg.srs")
+    sol = api.create_evm_verifier("vk.key", "kzg.srs", "Verifier.sol")
+    assert (tmp_path / "Verifier.sol").exists()
+    assert "contract EzklTpuVerifier" in sol
+    with pytest.raises(RuntimeError, match="zero-egress"):
+        api.deploy_evm()
+    with pytest.raises(RuntimeError, match="zero-egress"):
+        api.verify_evm()

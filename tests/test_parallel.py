@@ -48,3 +48,27 @@ def test_ntt_sharded_matches_single_and_roundtrip():
         mesh, FR, sharded.to_fourstep_layout(flat, R, C), inverse=True
     )
     assert list(limbs.decode(FR, sharded.from_fourstep_layout(back))) == vals
+
+
+def test_prover_commits_via_mesh_match_single_device():
+    """With an active mesh, create_proof's commits ride msm_sharded; a
+    det-prove seed makes the proof byte-identical to the single-device one."""
+    import sys, pathlib
+    sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent))
+    from test_plonk import K, build_circuit, build_assignment
+    from ezkl_tpu.plonk import keygen, prover, srs as srsmod, verifier
+    from ezkl_tpu.parallel import sharded
+
+    cs, cols = build_circuit()
+    asg = build_assignment(cs, cols)
+    srs = srsmod.gen_srs(K)
+    pk = keygen.keygen(cs, K, srs, asg)
+    p_single = prover.create_proof(pk, srs, asg, seed=7)
+    mesh = sharded.make_mesh(8)
+    sharded.set_mesh(mesh)
+    try:
+        p_mesh = prover.create_proof(pk, srs, asg, seed=7)
+    finally:
+        sharded.set_mesh(None)
+    assert p_mesh.to_json() == p_single.to_json()
+    assert verifier.verify(pk.vk, srs.g2, srs.s_g2, p_mesh)

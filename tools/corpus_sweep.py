@@ -18,8 +18,9 @@ os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + " --xla_force_host_p
 
 import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir",
-                  str(pathlib.Path(__file__).resolve().parent.parent / ".cache" / "jax"))
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+import ezkl_tpu  # noqa: E402
+jax.config.update("jax_compilation_cache_dir", ezkl_tpu.cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import numpy as np  # noqa: E402
@@ -43,11 +44,16 @@ DEFAULT_MODELS = [
 ]
 
 
-def run_one(name: str, check_mock=True):
+# the reference CI-gates mean error vs onnxruntime at 2.6%
+# (`tests/integration_tests.rs:385`, `tests/output_comparison.py`)
+ERR_GATE = 0.026
+
+
+def run_one(name: str, check_mock=True, ra=None):
     d = REF / name
     inp = json.loads((d / "input.json").read_text())
-    ra = RunArgs(input_scale=7, param_scale=7, lookup_range=(-32768, 32768),
-                 logrows=17)
+    ra = ra or RunArgs(input_scale=7, param_scale=7,
+                       lookup_range=(-32768, 32768), logrows=17)
     gc = GraphCircuit.from_onnx(str(d / "network.onnx"), ra)
     shapes = gc.model.input_shapes()
     arrays = [np.asarray(x, np.float64).reshape(s)
@@ -69,15 +75,45 @@ def run_one(name: str, check_mock=True):
     return dict(rows=st.num_rows, k=st.run_args.logrows, err=err, mock=mock_ok)
 
 
+def calibrated_retry(name: str, check_mock: bool):
+    """Scale-grid retry for models over the accuracy gate (the sweep-side
+    analog of api.calibrate_settings with target=accuracy)."""
+    best = None
+    for s in (8, 9, 10, 11):
+        span = max(2 ** (s + 5), 1 << 14)
+        ra = RunArgs(input_scale=s, param_scale=s,
+                     lookup_range=(-span, span), logrows=17)
+        try:
+            r = run_one(name, check_mock=check_mock, ra=ra)
+        except Exception:
+            continue
+        if r["err"] is not None and (best is None or r["err"] < best["err"]):
+            best = dict(r, input_scale=s)
+        if best and best["err"] < ERR_GATE:
+            break
+    return best
+
+
 def main():
     models = [a for a in sys.argv[1:] if not a.startswith("-")] or DEFAULT_MODELS
+    check_mock = "--no-mock" not in sys.argv
+    gate = "--no-gate" not in sys.argv
     results = {}
     for name in models:
         try:
-            r = run_one(name, check_mock="--no-mock" not in sys.argv)
-            tag = "OK " if (r["err"] is None or r["err"] < 0.05) and r["mock"] in (True, None) else "WARN"
+            r = run_one(name, check_mock=check_mock)
+            if r["err"] is not None and r["err"] >= ERR_GATE:
+                cal = calibrated_retry(name, check_mock)
+                if cal is not None and cal["err"] < r["err"]:
+                    cal["calibrated"] = True
+                    r = cal
+            bad_err = r["err"] is not None and r["err"] >= ERR_GATE
+            bad_mock = r["mock"] is False
+            tag = "FAIL" if (bad_err or bad_mock) else "OK  "
             print(f"{tag} {name:28s} rows={r['rows']:<7d} k={r['k']:<3d} "
-                  f"err={r['err'] if r['err'] is None else round(r['err'], 5)} mock={r['mock']}",
+                  f"err={r['err'] if r['err'] is None else round(r['err'], 5)} "
+                  f"mock={r['mock']}"
+                  f"{' (calibrated s=' + str(r['input_scale']) + ')' if r.get('calibrated') else ''}",
                   flush=True)
             results[name] = r
         except Exception as e:
@@ -85,8 +121,18 @@ def main():
             if "-v" in sys.argv:
                 traceback.print_exc()
             results[name] = dict(error=str(e))
+    report = pathlib.Path(__file__).resolve().parent / "corpus_report.json"
+    report.write_text(json.dumps(results, indent=1, default=str))
     ok = sum(1 for r in results.values() if "error" not in r)
-    print(f"\n{ok}/{len(results)} models ran")
+    failures = [n for n, r in results.items()
+                if "error" in r
+                or (r.get("err") is not None and r["err"] >= ERR_GATE)
+                or r.get("mock") is False]
+    print(f"\n{ok}/{len(results)} models ran; "
+          f"{len(failures)} over the {ERR_GATE} accuracy/mock gate"
+          + (f": {failures}" if failures else ""))
+    if gate and failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
