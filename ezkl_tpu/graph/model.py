@@ -594,7 +594,9 @@ class Model:
 
         outs = []
         for bi in np.ndindex(*batch) if batch else [()]:
-            sub = ops.matmul(ctx, sub2d(a, ash, bi), sub2d(b, bsh, bi))
+            # route through _matmul so each slice gets the Freivalds
+            # strategy choice too (attention stacks are batched matmuls)
+            sub = self._matmul(ctx, sub2d(a, ash, bi), sub2d(b, bsh, bi))
             outs.append(TVal(sub.ints.reshape(1, M, N), sub.scale, sub.span))
         out = ops.concat(ctx, outs, 0) if len(outs) > 1 else outs[0]
         return TVal(out.ints.reshape(batch + (M, N)), out.scale, out.span)
@@ -603,19 +605,41 @@ class Model:
         ra = self.run_args
         x, w = ins[0], ins[1]
         bias = ins[2] if len(ins) > 2 else None
-        if node.attrs.get("group", 1) != 1:
-            raise NotImplementedError("grouped conv not yet supported")
-        if any(d != 1 for d in node.attrs.get("dilations", [1, 1])):
-            raise NotImplementedError("dilated conv not yet supported")
+        groups = node.attrs.get("group", 1)
+        dil = tuple(node.attrs.get("dilations", [1, 1]))
         strides = tuple(node.attrs.get("strides", [1, 1]))
         pads = node.attrs.get("pads", [0, 0, 0, 0])
         padding = (pads[0], pads[1], pads[2], pads[3])
         if bias is not None and bias.span is None:
             orig = bias.ints.astype(np.float64) / (1 << bias.scale)
             bias = TVal(quantize(orig, x.scale + w.scale), x.scale + w.scale, None)
-        out = ops.conv2d(ctx, x, w, bias, strides, padding, ra.lookup_range,
-                         matmul_fn=self._matmul)
-        return rebase(out)
+        if groups == 1:
+            out = ops.conv2d(ctx, x, w, bias, strides, padding,
+                             ra.lookup_range, matmul_fn=self._matmul,
+                             dilations=dil)
+            return rebase(out)
+        # grouped conv: per-group channel slices (free reindex), concat on
+        # the output-channel axis (reference Conv group handling)
+        N, C = x.shape[0], x.shape[1]
+        O = w.shape[0]
+        cg, og = C // groups, O // groups
+        xg_grid = np.arange(x.ints.size).reshape(x.shape)
+        wg_grid = np.arange(w.ints.size).reshape(w.shape)
+        outs = []
+        for gi in range(groups):
+            xs = xg_grid[:, gi * cg:(gi + 1) * cg]
+            ws = wg_grid[gi * og:(gi + 1) * og]
+            xg = ops.reindex(x, xs.reshape(-1), xs.shape)
+            wg = ops.reindex(w, ws.reshape(-1), ws.shape)
+            bg = None
+            if bias is not None:
+                bgrid = np.arange(bias.ints.size)
+                bs = bgrid[gi * og:(gi + 1) * og]
+                bg = ops.reindex(bias, bs, (og,))
+            outs.append(ops.conv2d(ctx, xg, wg, bg, strides, padding,
+                                   ra.lookup_range, matmul_fn=self._matmul,
+                                   dilations=dil))
+        return rebase(ops.concat(ctx, outs, 1))
 
     def _pool(self, ctx, node, ins, rebase):
         ra = self.run_args

@@ -336,7 +336,7 @@ def einsum(ctx: LayoutCtx, equation: str, a: TVal, b: TVal | None = None) -> TVa
 
 def conv2d(ctx: LayoutCtx, x: TVal, w: TVal, bias: TVal | None,
            strides=(1, 1), padding=(0, 0, 0, 0), lookup_range=None,
-           matmul_fn=None) -> TVal:
+           matmul_fn=None, dilations=(1, 1)) -> TVal:
     """NCHW conv via padding + im2col reindex + one big matmul (which the
     model layer may route through the Freivalds phase-2 argument)."""
     N, C, H, W_ = x.shape
@@ -347,13 +347,15 @@ def conv2d(ctx: LayoutCtx, x: TVal, w: TVal, bias: TVal | None,
         x = pad(ctx, x, ((0, 0), (0, 0), (pt, pb), (pl, pr)))
     _, _, Hp, Wp = x.shape
     sh, sw = strides
-    OH = (Hp - KH) // sh + 1
-    OW = (Wp - KW) // sw + 1
+    dh, dw = dilations
+    OH = (Hp - (KH - 1) * dh - 1) // sh + 1
+    OW = (Wp - (KW - 1) * dw - 1) // sw + 1
     # im2col as a pure reindex: patches (N*OH*OW, C*KH*KW)
     n_i, oh, ow, c_i, kh, kw = np.meshgrid(
         np.arange(N), np.arange(OH), np.arange(OW), np.arange(C),
         np.arange(KH), np.arange(KW), indexing="ij")
-    src = ((n_i * C + c_i) * Hp + (oh * sh + kh)) * Wp + (ow * sw + kw)
+    src = (((n_i * C + c_i) * Hp + (oh * sh + kh * dh)) * Wp
+           + (ow * sw + kw * dw))
     patches = reindex(x, src.reshape(-1), (N * OH * OW, C * KH * KW))
     # weights as (C*KH*KW, O): transposed reindex of the placed tensor
     wm = w.ints.reshape(O, C * KH * KW)

@@ -246,11 +246,37 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
         sorted_d = jnp.take_along_axis(d, order, axis=-1)
         # points coords (16, N) gathered with (G, N) -> (16, G, N)
         sorted_pts = jax.tree.map(lambda a: jnp.take(a, order, axis=-1), points)
-        incl = prefix_scan_points(sorted_pts)
         starts = jax.vmap(lambda sd: jnp.searchsorted(sd, b_queries))(sorted_d)
         safe = jnp.maximum(starts, 1) - 1                     # (G, B-1)
-        e_pts = jax.tree.map(
-            lambda a: jnp.take_along_axis(a, safe[None], axis=-1), incl)
+        # prefix values are only needed at the B-1 bucket-boundary
+        # positions: take block-local inclusive prefixes + block-offset
+        # prefixes and combine AT THOSE POSITIONS only — saves the N-wide
+        # combine add per window (~25% of MSM adds at large N).
+        if n > _BLOCK:
+            m = n // _BLOCK
+            pr = jax.tree.map(
+                lambda a: a.reshape(a.shape[:-1] + (m, _BLOCK)), sorted_pts)
+            local = _seq_inclusive(pr)                        # (..,G,m,B)
+            totals = jax.tree.map(lambda a: a[..., -1], local)
+            tot_incl = prefix_scan_points(totals)             # (..,G,m)
+            loc_flat = jax.tree.map(
+                lambda a: a.reshape(a.shape[:-2] + (n,)), local)
+            e_loc = jax.tree.map(
+                lambda a: jnp.take_along_axis(a, safe[None], axis=-1),
+                loc_flat)                                     # (16,G,B-1)
+            blk = safe // _BLOCK                              # (G, B-1)
+            # offset = inclusive prefix of the PREVIOUS block's total
+            e_off = jax.tree.map(
+                lambda a: jnp.take_along_axis(
+                    a, (jnp.maximum(blk, 1) - 1)[None], axis=-1), tot_incl)
+            e_off = curve.select_point(blk == 0,
+                                       curve.identity(blk.shape), e_off)
+            e_pts = _padd(e_loc, e_off)
+        else:
+            incl = prefix_scan_points(sorted_pts)
+            e_pts = jax.tree.map(
+                lambda a: jnp.take_along_axis(a, safe[None], axis=-1), incl)
+            e_pts = curve.PointP(*e_pts)
         e_pts = curve.select_point(starts == 0,
                                    curve.identity(starts.shape), e_pts)
         return None, fold_points(e_pts)                       # (16, G)

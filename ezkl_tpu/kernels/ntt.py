@@ -97,6 +97,9 @@ def ntt(spec: FieldSpec, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndar
     tw = _twiddles(spec, k, inverse)  # (16, n/2)
     x = coeffs[..., _bitrev_perm(k)]  # static gather
 
+    use_bfly = (limbs._use_pallas_field()
+                and (n // 2) * max(int(np.prod(x.shape[1:-1])), 1)
+                >= limbs._PL_MIN)
     for s in range(1, k + 1):
         m = 1 << s
         half = m // 2
@@ -106,10 +109,15 @@ def ntt(spec: FieldSpec, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndar
         # stage twiddles: w_m^j = w_n^(j * n/m), j in [0, half)
         w = tw[:, :: (n // m)]                       # (16, half)
         wb = w.reshape((NLIMBS,) + (1,) * (bdims + 1) + (half,))
-        t = limbs.mont_mul(spec, b, wb)
-        x = jnp.concatenate(
-            [limbs.add(spec, a, t), limbs.sub(spec, a, t)], axis=-1
-        ).reshape(x.shape)
+        if use_bfly:
+            # fused t = b*w; (a+t, a-t): one pallas pass instead of three
+            from . import pntt
+            wfull = jnp.broadcast_to(wb, a.shape)
+            hi, lo = pntt.bfly(spec, a, b, wfull)
+        else:
+            t = limbs.mont_mul(spec, b, wb)
+            hi, lo = limbs.add(spec, a, t), limbs.sub(spec, a, t)
+        x = jnp.concatenate([hi, lo], axis=-1).reshape(x.shape)
 
     if inverse:
         ninv = jnp.asarray(_n_inv_const(spec, k)).reshape((NLIMBS,) + (1,) * (bdims + 1))
