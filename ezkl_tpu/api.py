@@ -42,13 +42,49 @@ DEFAULT = {
 }
 
 
-def _load_input(data_path) -> list[np.ndarray]:
+def _coerce_source(x, scale: int) -> np.ndarray:
+    """One input tensor from JSON, polymorphic per element like the
+    reference's `FileSourceInner{Float,Bool,Field}`
+    (`/root/reference/src/graph/input.rs:25-168`):
+
+    * numbers  -> float,
+    * booleans -> 1.0 / 0.0,
+    * "0x..." hex strings -> BN254 field elements, decoded to their signed
+      integer representative and de-scaled by the model input scale so the
+      pipeline's quantizer reproduces the same felt exactly (for
+      |int| < 2^53; larger pre-quantized felts need Float inputs).
+    """
+    try:
+        return np.asarray(x, dtype=np.float64)  # fast path: all-float
+    except (ValueError, TypeError):
+        pass
+    from .fieldmath.spec import bn254_fr
+    p = bn254_fr().modulus
+    obj = np.asarray(x, dtype=object)
+    flat = obj.reshape(-1)
+    out = np.empty(flat.shape, np.float64)
+    for i, v in enumerate(flat):
+        if isinstance(v, bool):
+            out[i] = 1.0 if v else 0.0
+        elif isinstance(v, str):
+            f = int(v, 16) % p
+            if f > p // 2:
+                f -= p
+            out[i] = f / (2.0 ** scale)
+        else:
+            out[i] = float(v)
+    return out.reshape(obj.shape)
+
+
+def _load_input(data_path, scales=None) -> list[np.ndarray]:
     d = json.loads(pathlib.Path(data_path).read_text())
-    arrays = [np.asarray(x, dtype=np.float64) for x in d["input_data"]]
+    srcs = d["input_data"]
+    if scales is None:
+        scales = [0] * len(srcs)
+    arrays = [_coerce_source(x, s) for x, s in zip(srcs, scales)]
     shapes = d.get("input_shapes")
     if shapes:
-        arrays = [a.reshape([-1] + list(s)[0:]) if False else a.reshape(s)
-                  for a, s in zip(arrays, shapes)]
+        arrays = [a.reshape(s) for a, s in zip(arrays, shapes)]
     return arrays
 
 
@@ -58,7 +94,7 @@ def gen_settings(model_path, output="settings.json", run_args: RunArgs | None = 
     gc = GraphCircuit.from_onnx(model_path, ra)
     sample = None
     if input_path:
-        sample = _reshape_for(gc, _load_input(input_path))
+        sample = _reshape_for(gc, _load_input(input_path, gc.model.input_scales()))
     s = gc.gen_settings(sample)
     pathlib.Path(output).write_text(s.to_json())
     return s
@@ -85,9 +121,14 @@ def calibrate_settings(model_path, input_path, settings_path="settings.json",
     data = json.loads(pathlib.Path(input_path).read_text())
     best = None
     tried = []
+    from .utils.progress import progress
+    n_cells = sum(len({s, max(2, s - 2)}) for s in scales) \
+        * len(scale_rebase_multipliers)
+    prog = progress("calibrate", total=n_cells)
     for s in scales:
         for ps in {s, max(2, s - 2)}:
             for rm in scale_rebase_multipliers:
+                prog.step(f"scale={s} param={ps} rebase={rm}")
                 ra = RunArgs.from_dict({**base.run_args.to_dict(),
                                         "input_scale": s, "param_scale": ps,
                                         "scale_rebase_multiplier": rm})
@@ -123,6 +164,7 @@ def calibrate_settings(model_path, input_path, settings_path="settings.json",
                 score = (k, err) if target == "resources" else (err, k)
                 if best is None or score < best[0]:
                     best = (score, st, cell)
+    prog.done()
     if best is None:
         raise ValueError("calibration failed for all scale candidates")
     st = best[1]
@@ -156,7 +198,7 @@ def load_compiled(compiled_path) -> GraphCircuit:
 def gen_witness(compiled_path, input_path, output="witness.json",
                 srs_path=None) -> dict:
     gc = load_compiled(compiled_path)
-    arrays = _reshape_for(gc, _load_input(input_path))
+    arrays = _reshape_for(gc, _load_input(input_path, gc.model.input_scales()))
     srs = None
     if srs_path and pathlib.Path(srs_path).exists():
         srs = srsmod.load(srs_path)
@@ -197,7 +239,7 @@ def swap_proof_commitments(proof_path="proof.json",
 
 def mock(compiled_path, input_path) -> bool:
     gc = load_compiled(compiled_path)
-    arrays = _reshape_for(gc, _load_input(input_path))
+    arrays = _reshape_for(gc, _load_input(input_path, gc.model.input_scales()))
     fails = gc.mock_prove(arrays)
     if fails:
         for f in fails[:10]:
@@ -227,7 +269,7 @@ def setup(compiled_path, input_path, srs_path=None, vk_path="vk.key",
     fix the row layout per compiled model, like the reference's compiled
     artifact)."""
     gc = load_compiled(compiled_path)
-    arrays = _reshape_for(gc, _load_input(input_path))
+    arrays = _reshape_for(gc, _load_input(input_path, gc.model.input_scales()))
     s = _srs_for(gc, srs_path)
     pk, _ = gc.setup(arrays, s)
     serde_mod.save_pk(pk, pk_path)
@@ -260,7 +302,7 @@ def _make_transcript(kind):
 def prove(compiled_path, input_path, pk_path="pk.key", srs_path=None,
           proof_path="proof.json", transcript=None):
     gc = load_compiled(compiled_path)
-    arrays = _reshape_for(gc, _load_input(input_path))
+    arrays = _reshape_for(gc, _load_input(input_path, gc.model.input_scales()))
     s = _srs_for(gc, srs_path)
     pk = serde_mod.load_pk(pk_path)
     proof, _ = gc.prove(arrays, s, pk=pk,

@@ -165,10 +165,16 @@ class GraphCircuit:
         table_rows = max(
             (info["inputs"].size for info in cfg.tables.values()), default=0)
         # +BLINDING_FACTORS+1: the proof system reserves the closing row and
-        # the zero-knowledge blinding rows at the end of the domain
+        # the zero-knowledge blinding rows at the end of the domain.
+        # Tables larger than the usable rows split into chunked column sets
+        # (layout.py ensure_table), so they only force k up once a table
+        # would need more than MAX_LOOKUP_COLS chunks — the analog of the
+        # reference's MAX_NUM_LOOKUP_COLS=12 (`graph/mod.rs:79-83`).
         from ..plonk.cs import BLINDING_FACTORS
+        MAX_LOOKUP_COLS = 12
         reserve = BLINDING_FACTORS + 1
-        need = max(ctx.row + reserve, table_rows + reserve,
+        need = max(ctx.row + reserve,
+                   -(-table_rows // MAX_LOOKUP_COLS) + reserve,
                    len(ctx.instance_vals) + 1)
         min_k = max(MIN_LOGROWS, (need - 1).bit_length())
         k = logrows if logrows is not None else min_k

@@ -71,25 +71,48 @@ class BaseConfig:
         self.polycommit_cols.append(col)
         return col
 
-    def ensure_table(self, name: str, inputs: np.ndarray, outputs: np.ndarray):
-        """Create (or fetch) a lookup table + its logup argument.
+    def ensure_table(self, name: str, inputs: np.ndarray, outputs: np.ndarray,
+                     cap: int | None = None):
+        """Create (or fetch) a lookup table + its logup argument(s).
 
         inputs/outputs: int64 arrays of table rows. The lookup reads
         (q*a0 + (1-q)*d_in, q*a1 + (1-q)*d_out) from every circuit row.
+
+        Tables larger than `cap` usable rows split into CHUNKS — one
+        (t_in, t_out, sel) column triple and one logup argument per chunk,
+        the analog of the reference's multi-column table split
+        (`/root/reference/src/circuit/table.rs:136-204`: `col_size =
+        2^k - blinding - 3`, inputs spread over `num_cols` column sets).
+        A lookup row activates exactly the selector of the chunk holding
+        its input value; for every other chunk it evaluates to that
+        chunk's default (first) row.
         """
         if name in self.tables:
             return self.tables[name]
         cs = self.cs
-        t_in = cs.fixed_column()
-        t_out = cs.fixed_column()
-        q_col = cs.fixed_column()
-        d_in, d_out = int(inputs[0]), int(outputs[0])
-        q = cs.query(q_col)
-        e_in = q * cs.query(self.a0) + (csmod.Constant(1) - q) * csmod.Constant(d_in)
-        e_out = q * cs.query(self.a1) + (csmod.Constant(1) - q) * csmod.Constant(d_out)
-        cs.add_lookup(name, [(e_in, e_out)], (cs.query(t_in), cs.query(t_out)))
-        info = dict(t_in=t_in, t_out=t_out, sel=q_col, inputs=inputs,
-                    outputs=outputs, d_in=d_in, d_out=d_out)
+        L = int(inputs.size)
+        n_chunks = 1 if cap is None else max(1, -(-L // cap))
+        chunk = -(-L // n_chunks)
+        chunks = []
+        for j in range(n_chunks):
+            seg_in = inputs[j * chunk:(j + 1) * chunk]
+            seg_out = outputs[j * chunk:(j + 1) * chunk]
+            t_in = cs.fixed_column()
+            t_out = cs.fixed_column()
+            q_col = cs.fixed_column()
+            d_in, d_out = int(seg_in[0]), int(seg_out[0])
+            q = cs.query(q_col)
+            one = csmod.Constant(1)
+            e_in = q * cs.query(self.a0) + (one - q) * csmod.Constant(d_in)
+            e_out = q * cs.query(self.a1) + (one - q) * csmod.Constant(d_out)
+            lk_name = name if n_chunks == 1 else f"{name}#{j}"
+            cs.add_lookup(lk_name, [(e_in, e_out)],
+                          (cs.query(t_in), cs.query(t_out)))
+            chunks.append(dict(t_in=t_in, t_out=t_out, sel=q_col,
+                               inputs=seg_in, outputs=seg_out,
+                               d_in=d_in, d_out=d_out))
+        info = dict(inputs=inputs, outputs=outputs, chunks=chunks,
+                    chunk_rows=chunk)
         self.tables[name] = info
         return info
 
@@ -218,7 +241,8 @@ class LayoutCtx:
     def apply_lookup(self, name: str, table_in: np.ndarray, table_out: np.ndarray,
                      tv: TVal, out_scale: int) -> TVal:
         """Map tv through the named table: rows with (a0=in, a1=out)."""
-        info = self.cfg.ensure_table(name, table_in, table_out)
+        info = self.cfg.ensure_table(name, table_in, table_out,
+                                     cap=self.usable)
         x = tv.ints.reshape(-1)
         lo, hi = int(info["inputs"][0]), int(info["inputs"][-1])
         if x.size and (x.min() < lo or x.max() > hi):
@@ -230,7 +254,14 @@ class LayoutCtx:
         r = self.alloc(x.size)
         self.stage_operand(tv, self.cfg.a0, r, np.arange(x.size))
         self.write(self.cfg.a1, r, out)
-        self._arr(info["sel"])[r:r + x.size] = 1
+        chunks = info["chunks"]
+        if len(chunks) == 1:
+            self._arr(chunks[0]["sel"])[r:r + x.size] = 1
+        else:
+            ci = (x - lo) // info["chunk_rows"]
+            for j, ch in enumerate(chunks):
+                rows_j = r + np.nonzero(ci == j)[0]
+                self._arr(ch["sel"])[rows_j] = 1
         res = TVal(out.reshape(tv.shape), out_scale,
                    Span.contiguous(self.cfg.a1, r, int(x.size)))
         return res
@@ -296,21 +327,23 @@ class LayoutCtx:
     def finalize(self) -> Assignment:
         cs = self.cfg.cs
         asg = Assignment.empty(cs, self.k)
-        # fill table columns (pad with default row through the last row)
+        # fill table columns (pad with the chunk default row to the end)
         for name, info in self.cfg.tables.items():
-            t_in = np.full(self.n, info["d_in"], np.int64)
-            t_out = np.full(self.n, info["d_out"], np.int64)
-            L = info["inputs"].size
-            # the logup argument covers only the active rows [0, usable)
-            # (prover multiplicities scan [:a]), so a table must fit there —
-            # catch the off-by-one at layout time
-            assert L <= self.usable, (
-                f"table '{name}' ({L} rows) must fit in {self.usable} usable "
-                f"rows (k={self.k}); raise logrows")
-            t_in[:L] = info["inputs"]
-            t_out[:L] = info["outputs"]
-            self._arr(info["t_in"])[:] = t_in
-            self._arr(info["t_out"])[:] = t_out
+            for ch in info["chunks"]:
+                t_in = np.full(self.n, ch["d_in"], np.int64)
+                t_out = np.full(self.n, ch["d_out"], np.int64)
+                L = ch["inputs"].size
+                # the logup argument covers only the active rows
+                # [0, usable) (prover multiplicities scan [:a]), so every
+                # chunk must fit there — guaranteed by the cap passed to
+                # ensure_table; catch the off-by-one here anyway
+                assert L <= self.usable, (
+                    f"table '{name}' chunk ({L} rows) exceeds {self.usable} "
+                    f"usable rows (k={self.k})")
+                t_in[:L] = ch["inputs"]
+                t_out[:L] = ch["outputs"]
+                self._arr(ch["t_in"])[:] = t_in
+                self._arr(ch["t_out"])[:] = t_out
         for (kind, idx), arr in self._cols.items():
             col = csmod.Column(kind, idx)
             asg.set_i64(col, 0, arr)

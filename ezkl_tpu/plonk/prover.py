@@ -57,11 +57,19 @@ FR = bn254_fr()
 
 _TRACE = _os.environ.get("EZKL_TPU_TRACE", "")
 _t0 = _time.time()
+_PROG = None  # live Progress for the current create_proof call
 
 
 def _span(msg: str):
+    global _PROG
     if _TRACE:
         print(f"[prover +{_time.time() - _t0:7.1f}s] {msg}", flush=True)
+    if _PROG is not None:
+        if msg == "done":
+            _PROG.done()
+            _PROG = None
+        else:
+            _PROG.step(msg)
 
 
 @dataclasses.dataclass
@@ -543,6 +551,9 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     cs = pk.vk.cs
     dom = pk.vk.domain
     k, n, p = pk.vk.k, dom.n, FR.modulus
+    global _PROG
+    from ..utils.progress import progress as _progress
+    _PROG = _progress(f"prove k={k}", total=10)
     tr = transcript or Transcript()
     kern = _kernels(pk)
     chunks = kern.chunks

@@ -47,3 +47,18 @@ def test_gen_random_data_and_table(tmp_path, monkeypatch):
 def test_poseidon_hash_api():
     assert api.poseidon_hash([1, 2, 3]) == api.poseidon_hash([1, 2, 3])
     assert api.poseidon_hash([1]) != api.poseidon_hash([2])
+
+
+def test_input_polymorphism_bool_field(tmp_path):
+    """FileSourceInner{Float,Bool,Field} analog (reference input.rs:25-168):
+    bools -> 0/1, 0x-hex felts -> signed int de-scaled by input scale."""
+    import json
+    from ezkl_tpu.api import _load_input
+    from ezkl_tpu.fieldmath.spec import bn254_fr
+    p = bn254_fr().modulus
+    neg3_felt = hex(p - 3 * 4)  # -3.0 at scale 2, as a field element
+    d = {"input_data": [[1.5, True, False, neg3_felt]]}
+    f = tmp_path / "input.json"
+    f.write_text(json.dumps(d))
+    (arr,) = _load_input(f, scales=[2])
+    assert arr.tolist() == [1.5, 1.0, 0.0, -3.0]
