@@ -70,6 +70,12 @@ def _coerce_source(x, scale: int) -> np.ndarray:
             f = int(v, 16) % p
             if f > p // 2:
                 f -= p
+            if abs(f) >= 2 ** 53:
+                raise ValueError(
+                    f"Field input 0x{int(v, 16):x} has signed representative "
+                    f"{f}, beyond the 2^53 exact-float range; such "
+                    "pre-quantized felts cannot round-trip through the "
+                    "quantizer — pass the value as a Float input instead")
             out[i] = f / (2.0 ** scale)
         else:
             out[i] = float(v)
@@ -134,10 +140,14 @@ def calibrate_settings(model_path, input_path, settings_path="settings.json",
                                         "scale_rebase_multiplier": rm})
                 span = max(2 ** (s + ps + 3), 2 ** 12)
                 ra.lookup_range = (-span, span)
+                # coerce OUTSIDE the try: a Field input beyond the exact
+                # float range must surface, not be swallowed as a failed
+                # grid cell
+                gc = GraphCircuit.from_onnx(model_path, ra)
+                arrays = _reshape_for(gc, [
+                    _coerce_source(x, sc) for x, sc in
+                    zip(data["input_data"], gc.model.input_scales())])
                 try:
-                    gc = GraphCircuit.from_onnx(model_path, ra)
-                    arrays = _reshape_for(gc, [np.asarray(x, np.float64)
-                                               for x in data["input_data"]])
                     st = gc.gen_settings(arrays)
                     if max_logrows is not None and \
                             st.run_args.logrows > max_logrows:

@@ -299,15 +299,93 @@ def _nprime_limbs(spec: FieldSpec):
         % (1 << (LIMB_BITS * NLIMBS))))
 
 
+# ---------------------------------------------------------------------------
+# MXU constant-multiply: the two Montgomery-reduction products (x N' mod R,
+# x N) have a STATIC operand, so each is a linear map over the limbs —
+# a (64, 32) banded constant matrix times the 8-bit limb split of the
+# variable operand. On TPU that rides the MXU (bf16 x bf16 -> f32, exact:
+# 8-bit values, products < 2^16, <= 32-term sums < 2^21 << 2^24), replacing
+# ~450 VPU u32 multiplies per element with one tiny matmul. Used inside
+# pallas kernels and the TPU XLA core; CPU keeps the u32 convolution.
+# ---------------------------------------------------------------------------
+
+def _use_mxu_reduce() -> bool:
+    """Default OFF: measured on v5e the MXU path is bit-exact but ~35%
+    SLOWER than the u32 convolution (104 vs 162 Mmul/s standalone) — the
+    u32<->bf16 cast chain and (32, blk) relayouts cost more than the saved
+    VPU multiplies at K=32 MXU utilization. Kept behind EZKL_TPU_MXU_REDUCE
+    for future tuning (int8 MXU path / wider fused batches)."""
+    env = _os.environ.get("EZKL_TPU_MXU_REDUCE")
+    if env is not None:
+        return env not in ("0", "false")
+    return False
+
+
+def _const_mat8(c_bytes: tuple):
+    """(64, 32) bf16 band matrix M[i+j, i] = c8[j] for the convolution
+    cols8[k] = sum_{i+j=k} a8[i] * c8[j].
+
+    Built from iotas + scalar selects instead of a literal array: pallas
+    kernels reject captured array constants, and XLA/Mosaic constant-folds
+    or CSEs this tiny (64, 32) computation."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (64, 32), 0)
+    i = jax.lax.broadcasted_iota(jnp.int32, (64, 32), 1)
+    d = k - i
+    M = jnp.zeros((64, 32), jnp.float32)
+    for j, cj in enumerate(c_bytes):
+        if cj:
+            M = jnp.where(d == j, jnp.float32(cj), M)
+    return M.astype(jnp.bfloat16)
+
+
+@_functools.lru_cache(maxsize=8)
+def _nprime_bytes(spec: FieldSpec):
+    v = pow(-spec.modulus, -1, 1 << (LIMB_BITS * NLIMBS)) \
+        % (1 << (LIMB_BITS * NLIMBS))
+    return tuple((v >> (8 * i)) & 0xFF for i in range(32))
+
+
+@_functools.lru_cache(maxsize=8)
+def _mod_bytes(spec: FieldSpec):
+    return tuple((spec.modulus >> (8 * i)) & 0xFF for i in range(32))
+
+
+def _mul_columns_const_mxu(a, c_bytes):
+    """a: list of 16 u32 limb arrays (16-bit values) -> 32 base-2^16
+    product columns (< 2^30) via one MXU matmul against the static
+    operand's byte matrix."""
+    a8 = []
+    for x in a:
+        a8.append(x & _u(0xFF))
+        a8.append(x >> 8)
+    # u32 -> bf16 via i32/f32 (Mosaic has no direct u32<->bf16 casts)
+    A = (jnp.stack(a8).astype(jnp.int32).astype(jnp.float32)
+         .astype(jnp.bfloat16))                            # (32, *B)
+    flat = A.reshape(32, -1)
+    M = _const_mat8(tuple(c_bytes))
+    cols8 = jax.lax.dot_general(
+        M, flat, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                # (64, n)
+    cols8 = cols8.astype(jnp.int32).astype(_U32).reshape((64,) + a[0].shape)
+    return [cols8[2 * k] + (cols8[2 * k + 1] << 8) for k in range(32)]
+
+
 def _mont_mul_l(spec: FieldSpec, a, b):
     """List-form Montgomery product (separated reduction)."""
     t_cols = _mul_columns_l(a, b)
     t_lo, _ = _normalize_l(t_cols[:NLIMBS], 21)
-    m_cols = _mul_columns_const_l(t_lo, _nprime_limbs(spec))
-    m, _ = _normalize_l(m_cols[:NLIMBS], 21)
-    mn_cols = _mul_columns_const_l(m, _mod_limbs_l(spec))
-    s_cols = [t_cols[k] + mn_cols[k] for k in range(2 * NLIMBS)]
-    s, _ = _normalize_l(s_cols, 22)          # low 16 limbs == 0 after this
+    if _use_mxu_reduce():
+        m_cols = _mul_columns_const_mxu(t_lo, _nprime_bytes(spec))
+        m, _ = _normalize_l(m_cols[:NLIMBS], 30)
+        mn_cols = _mul_columns_const_mxu(m, _mod_bytes(spec))
+        s_cols = [t_cols[k] + mn_cols[k] for k in range(2 * NLIMBS)]
+        s, _ = _normalize_l(s_cols, 31)      # low 16 limbs == 0 after this
+    else:
+        m_cols = _mul_columns_const_l(t_lo, _nprime_limbs(spec))
+        m, _ = _normalize_l(m_cols[:NLIMBS], 21)
+        mn_cols = _mul_columns_const_l(m, _mod_limbs_l(spec))
+        s_cols = [t_cols[k] + mn_cols[k] for k in range(2 * NLIMBS)]
+        s, _ = _normalize_l(s_cols, 22)      # low 16 limbs == 0 after this
     return _cond_sub_mod_l(spec, s[NLIMBS:])
 
 

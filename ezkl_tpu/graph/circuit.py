@@ -170,8 +170,7 @@ class GraphCircuit:
         # (layout.py ensure_table), so they only force k up once a table
         # would need more than MAX_LOOKUP_COLS chunks — the analog of the
         # reference's MAX_NUM_LOOKUP_COLS=12 (`graph/mod.rs:79-83`).
-        from ..plonk.cs import BLINDING_FACTORS
-        MAX_LOOKUP_COLS = 12
+        from ..plonk.cs import BLINDING_FACTORS, MAX_LOOKUP_COLS
         reserve = BLINDING_FACTORS + 1
         need = max(ctx.row + reserve,
                    -(-table_rows // MAX_LOOKUP_COLS) + reserve,

@@ -328,7 +328,7 @@ class Model:
             elif op == "Einsum":
                 eq = node.attrs.get("equation")
                 eq = eq.decode() if isinstance(eq, bytes) else eq
-                out = rebase(ops.einsum(ctx, eq, *ins[:2]))
+                out = rebase(self._einsum(ctx, eq, *ins[:2]))
             elif op in ("Greater", "Less", "Equal"):
                 a, b = align(ins[0], ins[1])
                 fn = {"Greater": ops.greater, "Less": ops.less,
@@ -575,31 +575,151 @@ class Model:
         return TVal(out_ints, a.scale + b.scale, span)
 
     def _batched_matmul(self, ctx, a: TVal, b: TVal) -> TVal:
-        """ND (batched+broadcast) matmul as a loop of 2D matmuls over the
-        batch index (ONNX MatMul semantics)."""
+        """ND (batched+broadcast) matmul (ONNX MatMul semantics): ONE
+        Freivalds bmm argument over the whole batch when the RLC rows win
+        (a broadcast operand is staged once — `FreivaldsModule.bmm`), a
+        loop of 2D matmuls otherwise."""
+        from .modules import get_freivalds
+        from ezkl_tpu.graph.quantize import check_range
+
         ash, bsh = a.shape, b.shape
         if a.ints.ndim < 2 or b.ints.ndim < 2:
             raise NotImplementedError("1-D matmul operand")
         batch = np.broadcast_shapes(ash[:-2], bsh[:-2])
         M, K = ash[-2], ash[-1]
         N = bsh[-1]
+        Bt = int(np.prod(batch, dtype=np.int64)) if batch else 1
 
-        def sub2d(tv, shape, bi):
-            off = len(batch) - (len(shape) - 2)
-            oidx = tuple(0 if shape[i] == 1 else bi[off + i]
-                         for i in range(len(shape) - 2))
-            grid = np.arange(int(np.prod(shape, dtype=np.int64))).reshape(shape)
-            sl = grid[oidx]
-            return ops.reindex(tv, sl.reshape(-1), sl.shape)
+        def bview(tv, shape, last2):
+            """Flat indices + TVal of the (Bt, *last2) broadcast view."""
+            grid = np.arange(tv.ints.size, dtype=np.int64).reshape(shape)
+            g = grid.reshape((1,) * (len(batch) + 2 - grid.ndim) + grid.shape)
+            g = np.broadcast_to(g, batch + shape[-2:])
+            flat = g.reshape(-1)
+            return ops.reindex(tv, flat, (Bt,) + last2)
 
-        outs = []
-        for bi in np.ndindex(*batch) if batch else [()]:
-            # route through _matmul so each slice gets the Freivalds
-            # strategy choice too (attention stacks are batched matmuls)
-            sub = self._matmul(ctx, sub2d(a, ash, bi), sub2d(b, bsh, bi))
-            outs.append(TVal(sub.ints.reshape(1, M, N), sub.scale, sub.span))
-        out = ops.concat(ctx, outs, 0) if len(outs) > 1 else outs[0]
+        a_shared = a.ints.size == M * K and Bt > 1
+        b_shared = b.ints.size == K * N and Bt > 1
+        base_rows = Bt * M * N * K
+        fre_rows = ((M * K if a_shared and not b_shared else Bt * M * K)
+                    + (K * N if b_shared else Bt * K * N) + Bt * M * N)
+        use_fre = (not self.run_args.disable_freivalds
+                   and base_rows > 2 * fre_rows and base_rows > 512)
+        if not use_fre:
+            def sub2d(tv, shape, bi):
+                off = len(batch) - (len(shape) - 2)
+                oidx = tuple(0 if shape[i] == 1 else bi[off + i]
+                             for i in range(len(shape) - 2))
+                grid = np.arange(int(np.prod(shape, np.int64))).reshape(shape)
+                sl = grid[oidx]
+                return ops.reindex(tv, sl.reshape(-1), sl.shape)
+
+            outs = []
+            for bi in np.ndindex(*batch) if batch else [()]:
+                sub = self._matmul(ctx, sub2d(a, ash, bi), sub2d(b, bsh, bi))
+                outs.append(TVal(sub.ints.reshape(1, M, N), sub.scale,
+                                 sub.span))
+            out = ops.concat(ctx, outs, 0) if len(outs) > 1 else outs[0]
+            return TVal(out.ints.reshape(batch + (M, N)), out.scale, out.span)
+
+        mod = get_freivalds(ctx.cfg)
+        scale = a.scale + b.scale
+        if a_shared and not b_shared:
+            # flip so the shared operand is staged once: C^T = B^T A^T
+            bt3 = bview(ops.transpose(ctx, b, tuple(range(b.ints.ndim - 2))
+                                      + (b.ints.ndim - 1, b.ints.ndim - 2)),
+                        bsh[:-2] + (N, K), (N, K))
+            a2 = ops.reindex(a, np.arange(M * K).reshape(M, K).T.reshape(-1),
+                             (K, M))
+            out_t = check_range(np.matmul(
+                bt3.ints, a2.ints[None]).reshape(Bt, N, M))
+            span = mod.bmm(ctx, bt3, a2, out_t, shared_b=True)
+            ct = TVal(out_t, scale, span)                  # (Bt, N, M)
+            out = ops.transpose(ctx, ct, (0, 2, 1))
+        elif b_shared:
+            a3 = bview(a, ash, (M, K))
+            b2 = ops.reindex(b, np.arange(K * N), (K, N))
+            out_i = check_range(np.matmul(a3.ints, b2.ints[None]))
+            span = mod.bmm(ctx, a3, b2, out_i, shared_b=True)
+            out = TVal(out_i, scale, span)
+        else:
+            a3 = bview(a, ash, (M, K))
+            b3 = bview(b, bsh, (K, N))
+            out_i = check_range(np.matmul(a3.ints, b3.ints))
+            span = mod.bmm(ctx, a3, b3, out_i)
+            out = TVal(out_i, scale, span)
         return TVal(out.ints.reshape(batch + (M, N)), out.scale, out.span)
+
+    def _einsum(self, ctx, eq: str, a: TVal, b: TVal | None = None) -> TVal:
+        """Route a two-operand einsum to the universal Freivalds argument
+        when the RLC row count wins (the reference's strategy analysis,
+        `chip/einsum/analysis.rs:170-198`): classify labels into
+        batch/m/n/contraction axes, reindex both operands to a batched
+        matmul, and lay ONE `bmm` argument (|A|+|B|+|C| rows instead of
+        |C|*K). Falls back to base-op accumulation for diagonals,
+        outer products, matvecs, and small contractions."""
+        from .modules import get_freivalds
+        from ezkl_tpu.graph.quantize import check_range
+
+        eq = eq.replace(" ", "")
+        if b is None:
+            return ops.einsum(ctx, eq, a)
+        lhs, out_t = eq.split("->")
+        t0, t1 = lhs.split(",")
+        if ("." in eq or len(set(t0)) != len(t0) or len(set(t1)) != len(t1)
+                or len(set(out_t)) != len(out_t)
+                or any(c not in t0 and c not in t1 for c in out_t)
+                or self.run_args.disable_freivalds):
+            return ops.einsum(ctx, eq, a, b)
+        dims: dict[str, int] = {}
+        for term, shape in ((t0, a.shape), (t1, b.shape)):
+            if len(term) != len(shape):
+                return ops.einsum(ctx, eq, a, b)
+            for c, s in zip(term, shape):
+                if dims.setdefault(c, int(s)) != int(s):
+                    return ops.einsum(ctx, eq, a, b)
+        # pre-sum axes appearing in one operand only (base-op runs)
+        only_a = [c for c in t0 if c not in t1 and c not in out_t]
+        if only_a:
+            nt0 = "".join(c for c in t0 if c not in only_a)
+            a = ops.einsum(ctx, f"{t0}->{nt0}", a)
+            t0 = nt0
+        only_b = [c for c in t1 if c not in t0 and c not in out_t]
+        if only_b:
+            nt1 = "".join(c for c in t1 if c not in only_b)
+            b = ops.einsum(ctx, f"{t1}->{nt1}", b)
+            t1 = nt1
+        batch = [c for c in out_t if c in t0 and c in t1]
+        m_ax = [c for c in out_t if c in t0 and c not in t1]
+        n_ax = [c for c in out_t if c in t1 and c not in t0]
+        k_ax = [c for c in t0 if c in t1 and c not in out_t]
+
+        def sz(axes):
+            return int(np.prod([dims[c] for c in axes], dtype=np.int64))
+
+        Bt, M, N, K = sz(batch), sz(m_ax), sz(n_ax), sz(k_ax)
+        base_rows = Bt * M * N * K
+        fre_rows = a.ints.size + b.ints.size + Bt * M * N
+        if not (k_ax and base_rows > 2 * fre_rows and base_rows > 512):
+            return ops.einsum(ctx, eq, a, b)
+
+        def to3(tv, term, groups, shape3):
+            perm = tuple(term.index(c) for g in groups for c in g)
+            tvt = ops.transpose(ctx, tv, perm)
+            return TVal(tvt.ints.reshape(shape3), tvt.scale, tvt.span)
+
+        a3 = to3(a, t0, (batch, m_ax, k_ax), (Bt, M, K))
+        b3 = to3(b, t1, (batch, k_ax, n_ax), (Bt, K, N))
+        out_ints = check_range(np.matmul(a3.ints, b3.ints))
+        mod = get_freivalds(ctx.cfg)
+        span = mod.bmm(ctx, a3, b3, out_ints)
+        cur = batch + m_ax + n_ax
+        full = tuple(dims[c] for c in cur)
+        c_tv = TVal(out_ints.reshape(full), a.scale + b.scale, span)
+        if cur != list(out_t):
+            c_tv = ops.transpose(ctx, c_tv,
+                                 tuple(cur.index(c) for c in out_t))
+        return c_tv
 
     def _conv(self, ctx, node, ins, rebase):
         ra = self.run_args

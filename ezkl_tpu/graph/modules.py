@@ -200,55 +200,95 @@ class FreivaldsModule:
         """Freivalds check for C=A*B. a,b: TVals (M,K),(K,N); out_ints the
         precomputed C (int64). Returns rows of C's staged cells (i-major)
         as the output span in f_v."""
-        from .layout import Span, TVal
+        return self.bmm(ctx, a, b, out_ints[None] if out_ints.ndim == 2
+                        else out_ints)
 
-        M, K = a.ints.shape
-        K2, N = b.ints.shape
-        cfg = self.cfg
+    def bmm(self, ctx: LayoutCtx, a, b, out_ints: np.ndarray,
+            shared_b: bool = False):
+        """Freivalds check for the batched matmul C[b] = A[b] @ B[b].
+
+        The universal einsum argument (reference
+        `/root/reference/src/circuit/ops/chip/einsum/mod.rs:104-300`):
+        every two-operand einsum reindexes to this shape (see
+        `einsum_freivalds`), so one RLC argument covers them all.
+
+        a: TVal with ints (Bt, M, K) — or (M, K), treated as Bt=1.
+        b: TVal with ints (Bt, K, N) — or, with shared_b, (K, N) used by
+           every batch slice (a broadcast operand is staged and RLC'd ONCE,
+           the row saving vs per-slice matmuls).
+        out_ints: (Bt, M, N) int64 — the claimed product.
+
+        Check per (t, i): sum_k A[t,i,k] * u[t,k] == v[t,i] where
+        u[t,k] = sum_j B[t,k,j] r^j and v[t,i] = sum_j C[t,i,j] r^j with r
+        a post-commitment challenge; the (t, i) axes are compared by direct
+        copy-equality of the run accumulators (no extra challenge needed).
+        Rows: |A| + |B| + |C|. Soundness: Schwartz-Zippel in r, degree N-1.
+
+        Returns the Span of C's staged cells (row-major (Bt, M, N)) in f_v.
+        """
+        from .layout import Span
+
+        a3 = a.ints if a.ints.ndim == 3 else a.ints[None]
+        Bt, M, K = a3.shape
+        if shared_b:
+            K2, N = b.ints.shape
+            u_runs = K
+        else:
+            b3 = b.ints if b.ints.ndim == 3 else b.ints[None]
+            Bt2, K2, N = b3.shape
+            assert Bt2 == Bt, f"batch mismatch {Bt2} vs {Bt}"
+            u_runs = Bt * K
+        assert K2 == K, f"contraction mismatch {K2} vs {K}"
+        assert out_ints.shape == (Bt, M, N)
         ctx.materialize(a)
         ctx.materialize(b)
 
-        # B-RLC: rows (k, j) -> u_k
-        bidx = (np.arange(K)[:, None] * N + np.arange(N)[None, :]).reshape(-1)
-        u_rows = self._rlc_region(ctx, b.ints.reshape(-1)[
-            np.arange(K * N)], K, N, b.span, bidx)
+        # B-RLC: rows (t, k, j) -> u_{t,k}  (or (k, j) -> u_k when shared)
+        b_flat = b.ints.reshape(-1)
+        u_rows = self._rlc_region(ctx, b_flat, u_runs, N, b.span,
+                                  np.arange(b_flat.size))
 
-        # C staged + C-RLC: rows (i, j) -> v_i   (C's home cells = f_v here)
+        # C staged + C-RLC: rows (t, i, j) -> v_{t,i}; C's home cells = f_v
         c_flat = out_ints.reshape(-1)
-        c_r0 = ctx.alloc(M * N)
+        c_r0 = ctx.alloc(Bt * M * N)
         ctx.write(self.f_v, c_r0, c_flat)
-        L = M * N
+        L = Bt * M * N
         rows = c_r0 + np.arange(L)
         init_mask = np.zeros(L, bool)
-        init_mask[np.arange(M) * N] = True
+        init_mask[np.arange(Bt * M) * N] = True
         for s_init, s_run in (("cp_init", "cp_run"), ("rlc_init", "rlc_run")):
             ctx._arr(self.sel[s_init])[rows[init_mask]] = 1
             ctx._arr(self.sel[s_run])[rows[~init_mask]] = 1
-        self.jobs.append(("rlc", c_r0, M, N, c_flat.copy()))
-        v_rows = c_r0 + (np.arange(M) + 1) * N - 1
+        self.jobs.append(("rlc", c_r0, Bt * M, N, c_flat.copy()))
+        v_rows = c_r0 + (np.arange(Bt * M) + 1) * N - 1
 
-        # final dots: rows (i, k): f_v = A[i,k], f_u = u_k, acc2 runs
-        d_r0 = ctx.alloc(M * K)
-        a_flat_idx = (np.arange(M)[:, None] * K + np.arange(K)[None, :]).reshape(-1)
-        ctx.write(self.f_v, d_r0, a.ints.reshape(-1)[a_flat_idx])
-        ctx.copy_rows(self.f_v, d_r0 + np.arange(M * K), a.span.col,
-                      a.span.rows[a_flat_idx])
-        # u values copied into f_u (phase-1 values; filled by callback)
-        u_idx = np.tile(np.arange(K), M)
-        ctx.copy_rows(self.f_u, d_r0 + np.arange(M * K), self.acc,
-                      u_rows[u_idx])
-        rows = d_r0 + np.arange(M * K)
-        init_mask = np.zeros(M * K, bool)
-        init_mask[np.arange(M) * K] = True
+        # final dots: rows (t, i, k): f_v = A[t,i,k], f_u = u_{t,k}
+        d_r0 = ctx.alloc(Bt * M * K)
+        a_flat = a3.reshape(-1)
+        ctx.write(self.f_v, d_r0, a_flat)
+        ctx.copy_rows(self.f_v, d_r0 + np.arange(Bt * M * K), a.span.col,
+                      a.span.rows)
+        # u accumulator rows feeding each staged (t, i, k) cell
+        if shared_b:
+            u_src = np.tile(np.arange(K), Bt * M)
+        else:
+            u_src = (np.arange(Bt)[:, None, None] * K
+                     + np.arange(K)[None, None, :]
+                     + np.zeros((1, M, 1), np.int64)).reshape(-1)
+        ctx.copy_rows(self.f_u, d_r0 + np.arange(Bt * M * K), self.acc,
+                      u_rows[u_src])
+        rows = d_r0 + np.arange(Bt * M * K)
+        init_mask = np.zeros(Bt * M * K, bool)
+        init_mask[np.arange(Bt * M) * K] = True
         ctx._arr(self.sel["dot2_init"])[rows[init_mask]] = 1
         ctx._arr(self.sel["dot2_run"])[rows[~init_mask]] = 1
-        self.jobs.append(("dot2", d_r0, M, K,
-                          a.ints.reshape(-1)[a_flat_idx].copy(), u_rows.copy()))
-        dot_final = d_r0 + (np.arange(M) + 1) * K - 1
-        # equality: acc2 final == v_i
+        self.jobs.append(("dot2", d_r0, Bt * M, K, a_flat.copy(),
+                          u_rows[u_src].reshape(Bt * M, K).copy()))
+        dot_final = d_r0 + (np.arange(Bt * M) + 1) * K - 1
+        # equality: acc2 final == v_{t,i}
         ctx.copy_rows(self.acc2, dot_final, self.acc, v_rows)
 
-        return Span(self.f_v, c_r0 + np.arange(M * N))
+        return Span(self.f_v, c_r0 + np.arange(Bt * M * N))
 
     # -- phase-1 witness ----------------------------------------------------
 
@@ -281,8 +321,10 @@ class FreivaldsModule:
             for job in jobs:
                 if job[0] == "dot2":
                     _, r0, M, K, a_vals, u_rows = job
-                    u_vals = np.array([u_cache[int(r)] for r in u_rows], object)
+                    # u_rows: (M, K) acc rows feeding each run's f_u cells
                     for i in range(M):
+                        u_vals = np.array(
+                            [u_cache[int(r)] for r in u_rows[i]], object)
                         seg = a_vals[i * K:(i + 1) * K]
                         terms = (np.array([int(x) % P for x in seg], object)
                                  * u_vals) % P

@@ -142,9 +142,14 @@ def sum_reduce(ctx: LayoutCtx, a: TVal) -> TVal:
 def _table_range(ctx: LayoutCtx, lookup_range) -> np.ndarray:
     lo, hi = lookup_range
     n_needed = hi - lo + 1
-    if n_needed > ctx.n:
+    # Tables larger than the usable rows split into chunked column sets
+    # (layout.py ensure_table), capped at MAX_LOOKUP_COLS chunks — the
+    # same bound gen_settings sizes min_k against (graph/circuit.py).
+    from ..plonk.cs import MAX_LOOKUP_COLS
+    if n_needed > MAX_LOOKUP_COLS * ctx.usable:
         raise ValueError(
-            f"lookup table of {n_needed} rows exceeds 2^{ctx.k} domain; "
+            f"lookup table of {n_needed} rows exceeds {MAX_LOOKUP_COLS} "
+            f"chunks of {ctx.usable} usable rows (2^{ctx.k} domain); "
             "raise logrows or shrink lookup_range")
     return np.arange(lo, hi + 1, dtype=np.int64)
 

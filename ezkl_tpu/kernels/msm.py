@@ -82,8 +82,18 @@ def _pdbl(p: PointP) -> PointP:
 
 
 def default_window_bits(n: int) -> int:
-    """Window size heuristic: balance per-window O(N) work vs 2^c fold."""
-    return max(2, min(16, int(n).bit_length() - 1))
+    """Window size: minimize ceil(254/c) * (linear work + bucket work).
+
+    Costs measured on v5e (docs/PERF.md r4): per-point sort+gather+scan
+    ≈ 75 ns, per-bucket (boundary gathers + combine + fold) ≈ 190 ns.
+    """
+    best_c, best_t = 2, float("inf")
+    for c in range(2, 21):
+        w = -(-254 // c)
+        t = w * (n * 75e-9 + (1 << c) * 190e-9)
+        if t < best_t:
+            best_c, best_t = c, t
+    return best_c
 
 
 def default_group(n: int, c: int) -> int:
@@ -212,14 +222,38 @@ def fold_points(p: PointP) -> PointP:
 # ---------------------------------------------------------------------------
 
 def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
-        group: int | None = None) -> PointP:
+        group: int | None = None, affine: bool = False) -> PointP:
     """sum_i scalars[i] * points[i].
 
     points: projective PointP with batch shape (N,), N a power of two
-    (identity lanes OK — see `pad_msm_inputs`).
+    (identity lanes OK — see `pad_msm_inputs`; affine=True requires
+    z == 1 everywhere instead).
     scalars: (16, N) RAW (non-Montgomery) Fr limbs.
     Returns a single projective PointP (batch shape ()).
     """
+    res = msm_multi(points, scalars[None], c=c, group=group, affine=affine)
+    return jax.tree.map(lambda a: a[..., 0], res)
+
+
+def msm_multi(points: PointP, scalars: jnp.ndarray, c: int | None = None,
+              group: int | None = None, affine: bool = False) -> PointP:
+    """Batched-column MSM: out[t] = sum_i scalars[t, i] * points[i].
+
+    scalars: (C, 16, N) RAW limbs over a SHARED point set; returns PointP
+    with batch shape (C,). All C*W window digit sets ride one
+    sort/scan/fold pipeline and the Horner combine is batched over columns
+    — this is the prover's "commit every column of a phase in one MSM"
+    path (amortizes kernel dispatch and, with `group`>1, widens the
+    sequential scan steps at small n).
+
+    affine=True asserts every point has z == 1 (SRS bases): the kernel
+    then gathers only (x, y) and runs 11-mul mixed adds — measured ~35%
+    faster end-to-end (docs/PERF.md).
+    """
+    if _use_pallas():
+        return _msm_multi_fused(points, scalars, c=c, group=group,
+                                affine=affine)
+    C = scalars.shape[0]
     n = scalars.shape[-1]
     assert (n & (n - 1)) == 0, "msm: pad N to a power of two"
     if c is None:
@@ -227,14 +261,15 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
     if group is None:
         group = default_group(n, c)
     nbuckets = 1 << c
-    digits = extract_digits(scalars, c)  # (W, N)
-    W = digits.shape[0]
-    # pad W to a multiple of the group size with all-zero-digit windows
+    digits = jax.vmap(lambda s: extract_digits(s, c))(scalars)  # (C, W, N)
+    W = digits.shape[1]
+    # pad W (per column) to a multiple of the group size with all-zero
+    # windows, so groups never span two columns
     Wp = -(-W // group) * group
     if Wp != W:
         digits = jnp.concatenate(
-            [digits, jnp.zeros((Wp - W, n), dtype=_U32)], axis=0)
-    dgroups = digits.reshape(Wp // group, group, n)
+            [digits, jnp.zeros((C, Wp - W, n), dtype=_U32)], axis=1)
+    dgroups = digits.reshape(C * Wp // group, group, n)
 
     total = fold_points(points)
 
@@ -282,9 +317,9 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
         return None, fold_points(e_pts)                       # (16, G)
 
     _, f_groups = jax.lax.scan(group_body, None, dgroups)
-    # leaves are (Wp/G, 16, G); window w = outer*G + inner -> (16, Wp)
+    # leaves are (C*Wp/G, 16, G); window w = outer*G + inner -> (16, C, Wp)
     f_w = jax.tree.map(
-        lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, -1), f_groups)
+        lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, C, Wp), f_groups)
 
     # U = (2^c - 1) * Total = 2^c*T - T  (doublings via scan: 1 dbl body)
     def dbl_n(p, n_dbl):
@@ -294,22 +329,172 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
         return out
 
     u = _padd(dbl_n(total, c), _neg_point(total))
+    u_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[..., None], a.shape + (C,)), u)
 
-    # Horner MSB-first over V_w = U - F_w  (padded windows have F_w =
-    # (B-1)*Total from all-zero digits, so V_w = 0 for them — safe)
+    # Horner MSB-first over V_w = U - F_w, batched over columns (padded
+    # windows have F_w = (B-1)*Total from all-zero digits, so V_w = 0)
     def horner_body(acc, fw):
-        v = _padd(u, _neg_point(fw))
+        v = _padd(u_b, _neg_point(fw))
         return _padd(dbl_n(acc, c), v), None
 
-    rev = jax.tree.map(lambda a: a[..., ::-1], f_w)
-    xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), rev)
-    res, _ = jax.lax.scan(horner_body, curve.identity(()), xs)
+    rev = jax.tree.map(lambda a: a[..., ::-1], f_w)        # (16, C, Wp)
+    xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), rev)  # (Wp, 16, C)
+    res, _ = jax.lax.scan(horner_body, curve.identity((C,)), xs)
     return res
 
 
 def _neg_point(p: PointP) -> PointP:
     fq = bn254_fq()
     return PointP(p.x, limbs.neg(fq, p.y), p.z)
+
+
+# ---------------------------------------------------------------------------
+# fused-kernel MSM (the TPU path)
+#
+# Measured (docs/PERF.md, v5e): each pallas_call issued per lax.scan step
+# costs ~1 ms of dispatch/loop-carry overhead, so the blocked prefix scans
+# above (32 calls per level) ran at 2.6x below the standalone add kernel,
+# and per-window folds cost ~96 calls. This path moves every sequential
+# chain into single pallas_calls whose GRID iterates the steps on-core
+# (`pcurve.prefix_scan_steps/fold_lanes/horner_combine/dbl_pow2`), keeping
+# the accumulators in VMEM scratch.
+# ---------------------------------------------------------------------------
+
+_FUSED_S = 128   # local-scan steps per lane (one kernel, grid = (m/blk, S))
+
+
+def _fused_group(n: int, W: int) -> int:
+    """Windows per outer step: widen small-n MSMs (latency-bound), keep
+    G * (bucket gather) memory bounded."""
+    g = max(1, (1 << 20) // max(n, 1))
+    g = min(g, 32, W)
+    while W % g:
+        g -= 1
+    return g
+
+
+def _prefix_points_fused(p: PointP) -> PointP:
+    """Inclusive prefix of projective points along the LAST axis (any
+    leading batch axes), via fused scan kernels + log recursion."""
+    from . import pcurve
+    m = p.x.shape[-1]
+    S = 32 if m <= 1024 else _FUSED_S
+    lead = p.x.shape[1:-1]
+    if m <= S:
+        pr = jax.tree.map(lambda a: a.reshape(NLIMBS, -1, m), p)
+        out = pcurve.prefix_scan_steps(pr)
+        return jax.tree.map(lambda a: a.reshape(p.x.shape), out)
+    assert m % S == 0, f"prefix_points_fused: {m} % {S}"
+    pr = jax.tree.map(lambda a: a.reshape(NLIMBS, -1, S), p)
+    local = pcurve.prefix_scan_steps(pr)                # (16, lead*m/S, S)
+    tots = jax.tree.map(
+        lambda a: a[..., -1].reshape((NLIMBS,) + lead + (m // S,)), local)
+    tp = _prefix_points_fused(tots)                     # (16, *lead, m/S)
+
+    def shift(a):
+        z = jnp.zeros_like(a[..., :1])
+        return jnp.concatenate([z, a[..., :-1]], axis=-1)
+
+    offs = PointP(shift(tp.x), shift(tp.y), shift(tp.z))
+    first = jnp.arange(m // S) == 0
+    offs = curve.select_point(
+        jnp.broadcast_to(first, lead + (m // S,)),
+        curve.identity(lead + (m // S,)), offs)
+    offs_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(
+            a.reshape(a.shape[:1] + (-1, 1)), local.x.shape), offs)
+    comb = pcurve.add(local, offs_b)
+    return jax.tree.map(lambda a: a.reshape(p.x.shape), comb)
+
+
+def _msm_multi_fused(points: PointP, scalars: jnp.ndarray,
+                     c: int | None = None, group: int | None = None,
+                     affine: bool = False) -> PointP:
+    from . import pcurve
+
+    C = scalars.shape[0]
+    n = scalars.shape[-1]
+    assert (n & (n - 1)) == 0, "msm: pad N to a power of two"
+    if c is None:
+        c = default_window_bits(n)
+    nbuckets = 1 << c
+    digits = jax.vmap(lambda s: extract_digits(s, c))(scalars)  # (C, W, N)
+    W = digits.shape[1]
+    G = group if group is not None else _fused_group(n, W)
+    Wp = -(-W // G) * G
+    if Wp != W:
+        digits = jnp.concatenate(
+            [digits, jnp.zeros((C, Wp - W, n), dtype=_U32)], axis=1)
+    dgroups = digits.reshape(C * Wp // G, G, n)
+    S = min(_FUSED_S, n)
+
+    if affine:
+        total = pcurve.fold_all((points.x, points.y))
+    else:
+        total = pcurve.fold_all(points)
+
+    b_queries = jnp.arange(1, nbuckets, dtype=_U32)
+    # bucket partials fold target: pad B-1 bucket sums up to a block
+    # multiple with identities, fold per window
+    pad_to = max(nbuckets, 128)
+    fold_blk = 1024 if nbuckets >= 2048 else 128
+
+    def group_body(_, d):
+        # d: (G, N) digits for G windows
+        order = jnp.argsort(d, axis=-1)
+        sorted_d = jnp.take_along_axis(d, order, axis=-1)
+        sx = jnp.take(points.x, order, axis=-1)          # (16, G, N)
+        sy = jnp.take(points.y, order, axis=-1)
+        if affine:
+            sp = (sx.reshape(NLIMBS, -1, S), sy.reshape(NLIMBS, -1, S))
+        else:
+            sz = jnp.take(points.z, order, axis=-1)
+            sp = PointP(sx.reshape(NLIMBS, -1, S),
+                        sy.reshape(NLIMBS, -1, S),
+                        sz.reshape(NLIMBS, -1, S))
+        local = pcurve.prefix_scan_steps(sp)             # (16, G*N/S, S)
+        totals = jax.tree.map(
+            lambda a: a[..., -1].reshape(NLIMBS, G, n // S), local)
+        tot_incl = _prefix_points_fused(totals)          # (16, G, n/S)
+
+        starts = jax.vmap(lambda sd: jnp.searchsorted(sd, b_queries))(sorted_d)
+        safe = jnp.maximum(starts, 1) - 1                # (G, B-1)
+        loc_flat = jax.tree.map(
+            lambda a: a.reshape(NLIMBS, G, n), local)
+        e_loc = jax.tree.map(
+            lambda a: jnp.take_along_axis(a, safe[None], axis=-1), loc_flat)
+        blk = safe // S                                  # (G, B-1)
+        e_off = jax.tree.map(
+            lambda a: jnp.take_along_axis(
+                a, (jnp.maximum(blk, 1) - 1)[None], axis=-1), tot_incl)
+        e_off = curve.select_point(blk == 0,
+                                   curve.identity(blk.shape), e_off)
+        e_pts = pcurve.add(e_loc, e_off)                 # (16, G, B-1)
+        e_pts = curve.select_point(starts == 0,
+                                   curve.identity(starts.shape), e_pts)
+        # pad B-1 -> pad_to with identity, then per-window lane fold
+        idp = curve.identity((G, pad_to - (nbuckets - 1)))
+        e_pts = jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b], axis=-1), e_pts, idp)
+        part = pcurve.fold_lanes(e_pts, blk=fold_blk)    # (16, G, fold_blk)
+        return None, part
+
+    _, parts = jax.lax.scan(group_body, None, dgroups)
+    # parts leaves: (C*Wp/G, 16, G, fold_blk) -> (16, C*Wp, fold_blk)
+    parts = jax.tree.map(
+        lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, C * Wp, fold_blk),
+        parts)
+    f_w = pcurve.reduce_pairwise(parts)                  # (16, C*Wp)
+    f_w = jax.tree.map(lambda a: a.reshape(NLIMBS, C, Wp), f_w)
+
+    # U = (2^c - 1) * Total;  V_w = U - F_w;  result = Horner over windows
+    u = pcurve.add(pcurve.dbl_pow2(total, c), _neg_point(total))  # (16,)
+    u_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[:, None, None], (NLIMBS, C, Wp)), u)
+    v = pcurve.add(u_b, _neg_point(f_w))                 # (16, C, Wp)
+    v_msb = jax.tree.map(lambda a: jnp.moveaxis(a[..., ::-1], 1, 2), v)
+    return pcurve.horner_combine(v_msb, c)               # (16, C)
 
 
 @functools.lru_cache(maxsize=16)
@@ -323,6 +508,19 @@ def msm_jit(points: PointP, scalars: jnp.ndarray, c: int | None = None,
     if c is None:
         c = default_window_bits(n)
     return _jitted_msm(c, group)(points, scalars)
+
+
+@functools.lru_cache(maxsize=16)
+def _jitted_msm_multi(c: int, group: int | None):
+    return jax.jit(functools.partial(msm_multi, c=c, group=group))
+
+
+def msm_multi_jit(points: PointP, scalars: jnp.ndarray, c: int | None = None,
+                  group: int | None = None) -> PointP:
+    n = scalars.shape[-1]
+    if c is None:
+        c = default_window_bits(n)
+    return _jitted_msm_multi(c, group)(points, scalars)
 
 
 def pad_msm_inputs(points: PointP, scalars: jnp.ndarray):

@@ -96,6 +96,38 @@ def _complete_add_l(X1, Y1, Z1, X2, Y2, Z2):
     return X3, Y3, Z3
 
 
+def _mixed_add_l(X1, Y1, Z1, X2, Y2):
+    """RCB15 algorithm 8 (a=0, b3=9): P1 projective (identity OK) + P2
+    AFFINE (must not be identity). 11 muls vs algorithm 7's 12."""
+    t0 = _mul(X1, X2)
+    t1 = _mul(Y1, Y2)
+    t3 = _add(X2, Y2)
+    t4 = _add(X1, Y1)
+    t3 = _mul(t3, t4)
+    t4 = _add(t0, t1)
+    t3 = _sub(t3, t4)
+    t4 = _mul(Y2, Z1)
+    t4 = _add(t4, Y1)
+    Y3 = _mul(X2, Z1)
+    Y3 = _add(Y3, X1)
+    X3 = _add(t0, t0)
+    t0 = _add(X3, t0)
+    t2 = _xb3(Z1)
+    Z3 = _add(t1, t2)
+    t1 = _sub(t1, t2)
+    Y3 = _xb3(Y3)
+    X3 = _mul(t4, Y3)
+    t2 = _mul(t3, t1)
+    X3 = _sub(t2, X3)
+    Y3 = _mul(Y3, t0)
+    t1 = _mul(t1, Z3)
+    Y3 = _add(t1, Y3)
+    t0 = _mul(t0, t3)
+    Z3 = _mul(Z3, t4)
+    Z3 = _add(Z3, t0)
+    return X3, Y3, Z3
+
+
 def _dbl_l(X, Y, Z):
     """RCB15 algorithm 9 (a=0, b3=9) on limb lists."""
     t0 = _mul(Y, Y)
@@ -180,6 +212,371 @@ def _dbl_call(n: int):
         out_shape=tuple(jax.ShapeDtypeStruct((NLIMBS, n), jnp.uint32)
                         for _ in range(3)),
     )
+
+
+# ---------------------------------------------------------------------------
+# fused sequential kernels: prefix scan / fold / Horner
+#
+# Measured on v5e (docs/PERF.md): ONE pallas_call has ~1 ms of dispatch +
+# loop-carry overhead when issued per step of a lax.scan, so a 32-step
+# point-add scan ran at 2.6x worse throughput than the standalone add
+# kernel. These kernels move the whole sequential loop INSIDE one
+# pallas_call: the TPU grid's last dimension iterates sequentially on-core,
+# the accumulator lives in VMEM scratch across steps, and the loop carry
+# never touches HBM.
+# ---------------------------------------------------------------------------
+
+# scan-lane block: 1024 measured optimal on v5e (512 -> 21.9 Madd/s,
+# 1024 -> 35.7, 2048 -> 35.5 at 2^20; docs/PERF.md)
+_SCAN_BLK = 1024
+
+
+def _one_limbs_b(blk: int):
+    """Montgomery 1 (R mod p) as limb-list of (blk,) broadcasts."""
+    from ..fieldmath.spec import int_to_limbs
+    one = (FQ.r) % FQ.modulus
+    return [jnp.full((blk,), int(v), jnp.uint32) for v in int_to_limbs(one)]
+
+
+def _zero_limbs_b(blk: int):
+    return [jnp.zeros((blk,), jnp.uint32) for _ in range(NLIMBS)]
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_call(m_blocks: int, steps: int, blk: int, mixed: bool):
+    """Inclusive prefix scan of point adds along a step axis.
+
+    Inputs are (steps, NLIMBS, m) coordinate planes (x, y[, z]); output is
+    the projective prefix in the same layout. mixed=True treats inputs as
+    AFFINE (z==1; identity not allowed) and uses the 11-mul mixed add.
+    """
+    spec_b = pl.BlockSpec((1, NLIMBS, blk), lambda i, j: (j, 0, i),
+                          memory_space=pltpu.VMEM)
+    n_in = 2 if mixed else 3
+
+    def kern(*refs):
+        ins = refs[:n_in]
+        outs = refs[n_in:n_in + 3]
+        ax, ay, az = refs[n_in + 3:]
+        j = pl.program_id(1)
+        X2 = [ins[0][0, i] for i in range(NLIMBS)]
+        Y2 = [ins[1][0, i] for i in range(NLIMBS)]
+        Z2 = None if mixed else [ins[2][0, i] for i in range(NLIMBS)]
+
+        @pl.when(j == 0)
+        def _():
+            one = _one_limbs_b(blk)
+            for i in range(NLIMBS):
+                ax[i] = X2[i]
+                ay[i] = Y2[i]
+                az[i] = one[i] if mixed else Z2[i]
+
+        @pl.when(j > 0)
+        def _():
+            X1 = [ax[i] for i in range(NLIMBS)]
+            Y1 = [ay[i] for i in range(NLIMBS)]
+            Z1 = [az[i] for i in range(NLIMBS)]
+            if mixed:
+                X3, Y3, Z3 = _mixed_add_l(X1, Y1, Z1, X2, Y2)
+            else:
+                X3, Y3, Z3 = _complete_add_l(X1, Y1, Z1, X2, Y2, Z2)
+            for i in range(NLIMBS):
+                ax[i] = X3[i]
+                ay[i] = Y3[i]
+                az[i] = Z3[i]
+
+        for i in range(NLIMBS):
+            outs[0][0, i] = ax[i]
+            outs[1][0, i] = ay[i]
+            outs[2][0, i] = az[i]
+
+    m = m_blocks * blk
+    shape = jax.ShapeDtypeStruct((steps, NLIMBS, m), jnp.uint32)
+    return pl.pallas_call(
+        kern, grid=(m_blocks, steps),
+        in_specs=[spec_b] * n_in, out_specs=(spec_b,) * 3,
+        out_shape=(shape,) * 3,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, blk), jnp.uint32)] * 3,
+    )
+
+
+def _scan_blk_for(m: int) -> int:
+    return _SCAN_BLK if m % _SCAN_BLK == 0 and m >= _SCAN_BLK else _BLK_NARROW
+
+
+def prefix_scan_steps(p) -> PointP:
+    """Inclusive point prefix along the LAST axis of a (16, m, S) batch.
+
+    p: PointP (projective; (0:1:0) identities OK) or (x, y) tuple (affine,
+    z==1, identity-free). m is padded to a block multiple with zero lanes
+    — garbage-safe: the formulas have no divisions and the pad lanes are
+    sliced away. Returns projective PointP (16, m, S)."""
+    mixed = not isinstance(p, PointP)
+    coords = (p.x, p.y, p.z) if not mixed else (p[0], p[1])
+    _, m, S = coords[0].shape
+    blk = _scan_blk_for(m)
+    mp = -(-m // blk) * blk
+    ins = []
+    for a in coords:
+        a = jnp.moveaxis(a, -1, 0)                    # (S, 16, m)
+        if mp != m:
+            pad = jnp.zeros((S, NLIMBS, mp - m), jnp.uint32)
+            a = jnp.concatenate([a, pad], axis=-1)
+        ins.append(a)
+    ox, oy, oz = _scan_call(mp // blk, S, blk, mixed)(*ins)
+    return PointP(*(jnp.moveaxis(a, 0, -1)[:, :m] for a in (ox, oy, oz)))
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_call(n_groups: int, n_chunks: int, blk: int, mixed: bool):
+    """Lane-wise accumulation over chunks, independently per group:
+    (groups, chunks, 16, blk) -> (groups, 16, blk) partial sums."""
+    in_spec = pl.BlockSpec((1, 1, NLIMBS, blk), lambda g, j: (g, j, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, NLIMBS, blk), lambda g, j: (g, 0, 0),
+                            memory_space=pltpu.VMEM)
+    n_in = 2 if mixed else 3
+
+    def kern(*refs):
+        ins = [r.at[0] for r in refs[:n_in]]
+        outs = [r.at[0] for r in refs[n_in:n_in + 3]]
+        ax, ay, az = refs[n_in + 3:]
+        j = pl.program_id(1)
+        X2 = [ins[0][0, i] for i in range(NLIMBS)]
+        Y2 = [ins[1][0, i] for i in range(NLIMBS)]
+        Z2 = None if mixed else [ins[2][0, i] for i in range(NLIMBS)]
+
+        @pl.when(j == 0)
+        def _():
+            one = _one_limbs_b(blk)
+            for i in range(NLIMBS):
+                ax[i] = X2[i]
+                ay[i] = Y2[i]
+                az[i] = one[i] if mixed else Z2[i]
+
+        @pl.when(j > 0)
+        def _():
+            X1 = [ax[i] for i in range(NLIMBS)]
+            Y1 = [ay[i] for i in range(NLIMBS)]
+            Z1 = [az[i] for i in range(NLIMBS)]
+            if mixed:
+                X3, Y3, Z3 = _mixed_add_l(X1, Y1, Z1, X2, Y2)
+            else:
+                X3, Y3, Z3 = _complete_add_l(X1, Y1, Z1, X2, Y2, Z2)
+            for i in range(NLIMBS):
+                ax[i] = X3[i]
+                ay[i] = Y3[i]
+                az[i] = Z3[i]
+
+        for i in range(NLIMBS):
+            outs[0][i] = ax[i]
+            outs[1][i] = ay[i]
+            outs[2][i] = az[i]
+
+    shape = jax.ShapeDtypeStruct((n_groups, NLIMBS, blk), jnp.uint32)
+    return pl.pallas_call(
+        kern, grid=(n_groups, n_chunks),
+        in_specs=[in_spec] * n_in, out_specs=(out_spec,) * 3,
+        out_shape=(shape,) * 3,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, blk), jnp.uint32)] * 3,
+    )
+
+
+def fold_lanes(p, blk: int = 1024) -> PointP:
+    """Sum points along the last axis DOWN TO blk lane partials in one
+    pallas call (n must be a multiple of blk; blk drops to 128 for narrow
+    inputs). p: projective PointP ((0:1:0) identities OK) or affine (x, y)
+    tuple (identity-free), shaped (16, n) or (16, G, n) — the G axis folds
+    independently per group. Lane l of group g holds sum_j p[g, j*blk+l];
+    finish with `reduce_pairwise`. Returns (16, blk) or (16, G, blk)."""
+    mixed = not isinstance(p, PointP)
+    coords = (p.x, p.y, p.z) if not mixed else (p[0], p[1])
+    n = coords[0].shape[-1]
+    grouped = coords[0].ndim == 3
+    G = coords[0].shape[1] if grouped else 1
+    if n < blk:
+        blk = _BLK_NARROW
+    assert n % blk == 0, f"fold_lanes: n={n} not a multiple of blk={blk}"
+    ins = [a.reshape(NLIMBS, G, n // blk, blk).transpose(1, 2, 0, 3)
+           for a in coords]
+    ox, oy, oz = _fold_call(G, n // blk, blk, mixed)(*ins)
+    out = PointP(*(jnp.moveaxis(a, 0, 1) for a in (ox, oy, oz)))
+    if not grouped:
+        out = jax.tree.map(lambda a: a[:, 0], out)
+    return out
+
+
+def reduce_pairwise(p: PointP) -> PointP:
+    """(16, ..., w) partials -> (16, ...) total by log2(w) halving adds
+    (complete adds; identity lanes OK)."""
+    w = p.x.shape[-1]
+    while w > 1:
+        half = w // 2
+        a = jax.tree.map(lambda t: t[..., :half], p)
+        b = jax.tree.map(lambda t: t[..., half:w], p)
+        p = add(a, b)
+        w = half
+    return jax.tree.map(lambda t: t[..., 0], p)
+
+
+def fold_all(p, blk: int = 1024) -> PointP:
+    """Full sum along the last axis: fold_lanes + halving tree -> (16,).
+
+    p: projective PointP (identity lanes OK) or affine (x, y) tuple
+    (identity-free; n already a blk multiple)."""
+    mixed = not isinstance(p, PointP)
+    n = (p[0] if mixed else p.x).shape[-1]
+    use_blk = blk if n >= blk else _BLK_NARROW
+    if n % use_blk:
+        if mixed:
+            # promote to projective so identity padding is available
+            p = PointP(p[0], p[1], limbs.ones_mont(FQ, (n,)))
+            mixed = False
+        np_ = -(-n // use_blk) * use_blk
+        from ..fieldmath import curve as _curve
+        idp = _curve.identity((np_ - n,))
+        p = jax.tree.map(lambda a, b: jnp.concatenate([a, b], -1), p, idp)
+    return reduce_pairwise(fold_lanes(p, blk=blk))
+
+
+@functools.lru_cache(maxsize=None)
+def _horner_call(W: int, c: int, width: int):
+    """Windowed Horner combine: acc = 2^c * acc + V_w, MSB window first.
+
+    Inputs: V as (W, NLIMBS, width) projective planes. Output (16, width).
+    Grid (W, c+1): steps j<c double, step j==c adds V_w; the very first
+    grid step instead loads identity-free... the first window's doubles
+    act on the identity accumulator (dbl(identity)=identity under RCB15
+    alg 9: (0:1:0) -> (0:1:0) — verified by tests), so no special case.
+    """
+    in_spec = pl.BlockSpec((1, NLIMBS, width), lambda w, j: (w, 0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((NLIMBS, width), lambda w, j: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def kern(vx, vy, vz, ox, oy, oz, ax, ay, az):
+        w = pl.program_id(0)
+        j = pl.program_id(1)
+
+        @pl.when((w == 0) & (j == 0))
+        def _():
+            one = _one_limbs_b(width)
+            zero = _zero_limbs_b(width)
+            for i in range(NLIMBS):
+                ax[i] = zero[i]
+                ay[i] = one[i]
+                az[i] = zero[i]
+
+        @pl.when(j < c)
+        def _():
+            X3, Y3, Z3 = _dbl_l([ax[i] for i in range(NLIMBS)],
+                                [ay[i] for i in range(NLIMBS)],
+                                [az[i] for i in range(NLIMBS)])
+            for i in range(NLIMBS):
+                ax[i] = X3[i]
+                ay[i] = Y3[i]
+                az[i] = Z3[i]
+
+        @pl.when(j == c)
+        def _():
+            X3, Y3, Z3 = _complete_add_l(
+                [ax[i] for i in range(NLIMBS)],
+                [ay[i] for i in range(NLIMBS)],
+                [az[i] for i in range(NLIMBS)],
+                [vx[0, i] for i in range(NLIMBS)],
+                [vy[0, i] for i in range(NLIMBS)],
+                [vz[0, i] for i in range(NLIMBS)])
+            for i in range(NLIMBS):
+                ax[i] = X3[i]
+                ay[i] = Y3[i]
+                az[i] = Z3[i]
+
+        for i in range(NLIMBS):
+            ox[i] = ax[i]
+            oy[i] = ay[i]
+            oz[i] = az[i]
+
+    shape = jax.ShapeDtypeStruct((NLIMBS, width), jnp.uint32)
+    return pl.pallas_call(
+        kern, grid=(W, c + 1),
+        in_specs=[in_spec] * 3, out_specs=(out_spec,) * 3,
+        out_shape=(shape,) * 3,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, width), jnp.uint32)] * 3,
+    )
+
+
+def horner_combine(v: PointP, c: int) -> PointP:
+    """MSB-first Horner over windows: sum_w 2^(c*w) * V_w.
+
+    v: PointP (16, W, width) with window axis second, MSB window FIRST
+    along it. Returns (16, width)."""
+    W, width = v.x.shape[1], v.x.shape[2]
+    wp = max(_BLK_NARROW, width)
+    ins = []
+    for a in (v.x, v.y, v.z):
+        a = jnp.moveaxis(a, 1, 0)                     # (W, 16, width)
+        if wp != width:
+            a = jnp.concatenate(
+                [a, jnp.zeros((W, NLIMBS, wp - width), jnp.uint32)], -1)
+        ins.append(a)
+    ox, oy, oz = _horner_call(W, c, wp)(*ins)
+    return PointP(ox[:, :width], oy[:, :width], oz[:, :width])
+
+
+@functools.lru_cache(maxsize=None)
+def _dbln_call(c: int, width: int):
+    """2^c * P for (16, width) points: grid (c,) of doubles in scratch."""
+    io_spec = pl.BlockSpec((NLIMBS, width), lambda j: (0, 0),
+                           memory_space=pltpu.VMEM)
+
+    def kern(x, y, z, ox, oy, oz, ax, ay, az):
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            X3, Y3, Z3 = _dbl_l([x[i] for i in range(NLIMBS)],
+                                [y[i] for i in range(NLIMBS)],
+                                [z[i] for i in range(NLIMBS)])
+            for i in range(NLIMBS):
+                ax[i] = X3[i]
+                ay[i] = Y3[i]
+                az[i] = Z3[i]
+
+        @pl.when(j > 0)
+        def _():
+            X3, Y3, Z3 = _dbl_l([ax[i] for i in range(NLIMBS)],
+                                [ay[i] for i in range(NLIMBS)],
+                                [az[i] for i in range(NLIMBS)])
+            for i in range(NLIMBS):
+                ax[i] = X3[i]
+                ay[i] = Y3[i]
+                az[i] = Z3[i]
+
+        for i in range(NLIMBS):
+            ox[i] = ax[i]
+            oy[i] = ay[i]
+            oz[i] = az[i]
+
+    shape = jax.ShapeDtypeStruct((NLIMBS, width), jnp.uint32)
+    return pl.pallas_call(
+        kern, grid=(c,),
+        in_specs=[io_spec] * 3, out_specs=(io_spec,) * 3,
+        out_shape=(shape,) * 3,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, width), jnp.uint32)] * 3,
+    )
+
+
+def dbl_pow2(p: PointP, c: int) -> PointP:
+    """2^c * P, one pallas call. p: (16, *batch) with flat width padded."""
+    bs = p.x.shape[1:]
+    n = 1
+    for d in bs:
+        n *= d
+    ins, t = _flatten_pad([p.x, p.y, p.z], n)
+    ox, oy, oz = _dbln_call(c, t)(*ins)
+    shape = (NLIMBS,) + bs
+    return PointP(ox[:, :n].reshape(shape), oy[:, :n].reshape(shape),
+                  oz[:, :n].reshape(shape))
 
 
 def _flatten_pad(arrs, n):

@@ -30,6 +30,13 @@ FIXED, ADVICE, INSTANCE = "fixed", "advice", "instance"
 # opened evaluations plus its commitment.
 BLINDING_FACTORS = 6
 
+# Maximum number of chunked column-triples a single lookup table may split
+# into (layout.py ensure_table). The analog of the reference's
+# MAX_NUM_LOOKUP_COLS (`/root/reference/src/graph/mod.rs:79-83`); shared by
+# gen_settings sizing (graph/circuit.py) and the table-range guard
+# (graph/ops.py) so the two can never disagree.
+MAX_LOOKUP_COLS = 12
+
 
 def last_active_row(n: int) -> int:
     """Index of the closing row `a`: running arguments hold on [0, a),

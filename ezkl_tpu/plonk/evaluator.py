@@ -46,6 +46,34 @@ class EvalCtx:
         return next(iter(self.columns.values())).shape[-1]
 
 
+@dataclasses.dataclass
+class ChunkCtx:
+    """EvalCtx over one row chunk [start, start+size) of a length-n domain.
+
+    Rotations become wraparound gathers into the full columns, so gate
+    evaluation memory is O(size), independent of n — the MockProver path
+    for k >= 20 domains (whole-domain jits ask for 100+ GB there).
+    `start` may be a traced scalar: one compile serves every chunk.
+    """
+
+    columns: dict
+    rot_step: int
+    challenges: dict
+    start: object
+    size: int
+    n: int
+
+    def query(self, kind: str, index: int, rotation: int) -> jnp.ndarray:
+        v = self.columns[kind][index]
+        idx = (self.start + jnp.arange(self.size)
+               + rotation * self.rot_step) % self.n
+        return jnp.take(v, idx, axis=-1)
+
+    @property
+    def m(self) -> int:
+        return self.size
+
+
 def evaluate(expr: Expr, ctx: EvalCtx) -> jnp.ndarray:
     """-> (16, m) Montgomery evals of the expression over the domain."""
     if isinstance(expr, Constant):

@@ -141,14 +141,8 @@ def keygen(cs: ConstraintSystem, k: int, srs: SRS,
     maps = build_permutation_maps(cs, k, fixed_assignment.copies)
     sig_l = sigma_evals(maps, k)                                 # (m, 16, n)
 
-    fixed_comms = [
-        decode_point_host(kzg.commit_lagrange(srs, fixed_l[i]))
-        for i in range(cs.num_fixed)
-    ]
-    sigma_comms = [
-        decode_point_host(kzg.commit_lagrange(srs, sig_l[j]))
-        for j in range(len(cs.perm_columns))
-    ]
+    fixed_comms = kzg.commit_many(srs, fixed_l) if cs.num_fixed else []
+    sigma_comms = kzg.commit_many(srs, sig_l) if len(cs.perm_columns) else []
     vk = VerifyingKey(cs=cs, k=k, domain=dom,
                       fixed_commitments=fixed_comms,
                       sigma_commitments=sigma_comms)

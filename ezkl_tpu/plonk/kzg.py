@@ -40,7 +40,7 @@ def _jitted_commit(m: int, lagrange: bool):
         if lagrange:
             vals = nttmod.intt(FR, vals)
         raw = limbs.from_mont(FR, vals)
-        return msmmod.msm(pts, raw, c=c)
+        return msmmod.msm(pts, raw, c=c, affine=True)
 
     return run
 
@@ -83,6 +83,62 @@ def commit_coeff(srs: SRS, coeffs: jnp.ndarray) -> PointP:
 def commit_lagrange(srs: SRS, evals: jnp.ndarray) -> PointP:
     """Commitment to a poly given by evals over H (|H| = len)."""
     return _commit(srs, evals, lagrange=True)
+
+
+def _multi_group(m: int) -> int | None:
+    """Window-group width for batched commits: at small n the per-window
+    scan steps are only n/32 lanes wide (latency-bound), so batching G
+    windows per step pays; at large n the kernel is VPU-bound and G=1
+    wins (measured, docs/PERF.md)."""
+    return min(8, max(1, (1 << 17) // m)) if m < (1 << 17) else None
+
+
+@functools.lru_cache(maxsize=32)
+def _jitted_commit_multi(m: int, lagrange: bool, cols: int):
+    c = msmmod.default_window_bits(m)
+    group = _multi_group(m)
+
+    @jax.jit
+    def run(pts, vals):                       # vals: (C, 16, m) Montgomery
+        v = jnp.moveaxis(vals, 0, 1)          # (16, C, m) ntt batch layout
+        if lagrange:
+            v = nttmod.intt(FR, v)
+        raw = limbs.from_mont(FR, v)
+        return msmmod.msm_multi(pts, jnp.moveaxis(raw, 1, 0), c=c,
+                                group=group, affine=True)
+
+    return run
+
+
+def commit_many(srs: SRS, stacks, lagrange: bool = True) -> list:
+    """Commit C same-length polys in ONE batched MSM pass.
+
+    stacks: (C, 16, m) device array (or a list of (16, m) arrays).
+    Returns a list of C host affine points (transcript-ready), in order.
+    Falls back to per-poly commits under an active mesh (the sharded MSM
+    path is single-poly for now)."""
+    from ..fieldmath import curve as curvemod
+    if isinstance(stacks, (list, tuple)):
+        if not stacks:
+            return []
+        stacks = jnp.stack(list(stacks), axis=0)
+    C, _, m = stacks.shape
+    if C == 0:
+        return []
+    from ..parallel import sharded
+    if sharded.active_mesh() is not None:
+        return [
+            _decode_one(_commit(srs, stacks[i], lagrange)) for i in range(C)]
+    assert m <= srs.n, "poly too long for SRS"
+    pts = jax.tree.map(lambda a: a[..., :m], srs.g1)
+    out = _jitted_commit_multi(m, lagrange, C)(pts, stacks)
+    return curvemod.decode_points(out)
+
+
+def _decode_one(p: PointP):
+    from ..fieldmath import curve as curvemod
+    batched = PointP(p.x[:, None], p.y[:, None], p.z[:, None])
+    return curvemod.decode_points(batched)[0]
 
 
 @functools.lru_cache(maxsize=32)

@@ -18,9 +18,12 @@ from ..fieldmath.spec import bn254_fr
 from .assign import Assignment
 from . import cs as csmod
 from .cs import FIXED, ADVICE, INSTANCE
-from .evaluator import EvalCtx, evaluate
+from .evaluator import ChunkCtx as _ChunkCtx, EvalCtx, evaluate
 
 FR = bn254_fr()
+
+# row-chunk size for gate checking on large domains (memory O(chunk))
+_GATE_CHUNK = 1 << 17
 
 
 @dataclasses.dataclass
@@ -49,19 +52,39 @@ def verify(asg: Assignment, challenges: dict | None = None) -> list[Failure]:
     }
     ctx = EvalCtx(columns=cols, rot_step=1, challenges=ch)
 
-    # gates must vanish everywhere
-    @jax.jit
-    def gate_nonzero_rows(_dummy):
-        outs = []
-        for g in cs.gates:
-            v = evaluate(g.poly, ctx)
-            outs.append(~limbs.is_zero(v))
-        return outs
+    # gates must vanish everywhere. Above _GATE_CHUNK rows, evaluate in
+    # row chunks (wraparound gathers for rotations): the whole-domain jit
+    # of every gate at k>=20 asks for 100+ GB of intermediate buffers.
+    n = asg.n
+    if n <= _GATE_CHUNK:
+        @jax.jit
+        def gate_nonzero_rows():
+            return [~limbs.is_zero(evaluate(g.poly, ctx)) for g in cs.gates]
 
-    for g, nz in zip(cs.gates, gate_nonzero_rows(0)):
-        rows = np.nonzero(np.asarray(nz))[0]
-        if rows.size:
-            failures.append(Failure("gate", g.name, rows.tolist()))
+        for g, nz in zip(cs.gates, gate_nonzero_rows()):
+            rows = np.nonzero(np.asarray(nz))[0]
+            if rows.size:
+                failures.append(Failure("gate", g.name, rows.tolist()))
+    else:
+        @jax.jit
+        def gates_chunk(start):
+            cctx = _ChunkCtx(columns=cols, rot_step=1, challenges=ch,
+                             start=start, size=_GATE_CHUNK, n=n)
+            return [~limbs.is_zero(evaluate(g.poly, cctx))
+                    for g in cs.gates]
+
+        bad: dict[str, list] = {}
+        for s in range(0, n, _GATE_CHUNK):
+            # np scalar => traced jit arg (a Python int would recompile
+            # once per chunk)
+            for g, nz in zip(cs.gates, gates_chunk(np.int32(s))):
+                rows = np.nonzero(np.asarray(nz))[0]
+                if rows.size:
+                    bad.setdefault(g.name, []).extend(
+                        (rows + s).tolist())
+        for g in cs.gates:
+            if g.name in bad:
+                failures.append(Failure("gate", g.name, bad[g.name]))
 
     # copy constraints by value — whole index-array batches at once
     raw_of = _raw_columns(asg)

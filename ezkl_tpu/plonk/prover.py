@@ -545,15 +545,32 @@ def _random_mont(rng: np.random.Generator, shape) -> jnp.ndarray:
 _to_mont_jit = jax.jit(lambda v: limbs.to_mont(FR, v))
 
 
+# number of _span phases fired before "done" in _create_proof_impl
+_PROVE_PHASES = 9
+
+
 def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
                  transcript: Transcript | None = None,
                  seed: int | None = None) -> Proof:
+    global _PROG
+    from ..utils.progress import progress as _progress
+    _PROG = _progress(f"prove k={pk.vk.k}", total=_PROVE_PHASES)
+    try:
+        return _create_proof_impl(pk, srs, asg, transcript, seed)
+    finally:
+        # on an exception mid-proof, close the dangling progress line so a
+        # subsequent create_proof starts with a fresh bar
+        if _PROG is not None:
+            _PROG.done()
+            _PROG = None
+
+
+def _create_proof_impl(pk: ProvingKey, srs: SRS, asg: Assignment,
+                       transcript: Transcript | None = None,
+                       seed: int | None = None) -> Proof:
     cs = pk.vk.cs
     dom = pk.vk.domain
     k, n, p = pk.vk.k, dom.n, FR.modulus
-    global _PROG
-    from ..utils.progress import progress as _progress
-    _PROG = _progress(f"prove k={k}", total=10)
     tr = transcript or Transcript()
     kern = _kernels(pk)
     chunks = kern.chunks
@@ -592,10 +609,12 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         if cs.advice_unblinded else np.zeros(cs.num_advice, bool)
     advice_l = blind_tail(asg.device_columns(ADVICE), unbl)  # (na, 16, n)
     advice_comms: dict[int, object] = {}
-    for i in p0_cols:
-        c = decode_point_host(kzg.commit_lagrange(srs, advice_l[i]))
-        advice_comms[i] = c
-        tr.common_point(c)
+    if p0_cols:
+        for i, c in zip(
+                p0_cols,
+                kzg.commit_many(srs, advice_l[jnp.asarray(p0_cols)])):
+            advice_comms[i] = c
+            tr.common_point(c)
     challenges = [tr.challenge() for _ in range(cs.num_challenges)]
     ch_dev = [limbs.const(FR, v) for v in challenges]
     if p1_cols:
@@ -604,8 +623,8 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         # keep the already-committed phase-0 blinding rows byte-identical
         keep = jnp.asarray([phases[i] == 0 for i in range(cs.num_advice)])
         advice_l = jnp.where(keep[:, None, None], advice_l, refreshed)
-        for i in p1_cols:
-            c = decode_point_host(kzg.commit_lagrange(srs, advice_l[i]))
+        for i, c in zip(p1_cols,
+                        kzg.commit_many(srs, advice_l[jnp.asarray(p1_cols)])):
             advice_comms[i] = c
             tr.common_point(c)
     advice_comms = [advice_comms[i] for i in range(cs.num_advice)]
@@ -644,8 +663,8 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
         m_host = np.bincount(rows_for_f, minlength=n).astype(np.int64)
         m_dev = blind_tail(_to_mont_jit(jnp.asarray(limbs.encode_i64(FR, m_host))))
         m_all.append(m_dev)
-        cpt = decode_point_host(kzg.commit_lagrange(srs, m_dev))
-        m_comms.append(cpt)
+    m_comms = kzg.commit_many(srs, m_all)
+    for cpt in m_comms:
         tr.common_point(cpt)
 
     _span("phase4: perm z + phi")
@@ -659,28 +678,19 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     z_list = [blind_tail(z) for z in z_list]
     phi_list = [blind_tail(phi) for phi in phi_list]
     shz_list = [blind_tail(z) for z in shz_list]
-    z_comms = []
-    for z in z_list:
-        cpt = decode_point_host(kzg.commit_lagrange(srs, z))
-        z_comms.append(cpt)
-        tr.common_point(cpt)
-    phi_comms = []
-    for phi in phi_list:
-        cpt = decode_point_host(kzg.commit_lagrange(srs, phi))
-        phi_comms.append(cpt)
-        tr.common_point(cpt)
-    shz_comms = []
-    for z in shz_list:
-        cpt = decode_point_host(kzg.commit_lagrange(srs, z))
-        shz_comms.append(cpt)
-        tr.common_point(cpt)
-
-    # vanishing-argument random poly: fully random, RLC'd into the x-point
-    # opening batch so the batched opening witness is rerandomized
+    # one batched MSM for z + phi + shuffle-z + the vanishing random poly
+    # (transcript order: z's, phi's, shz's, random)
     _span("phase4b: random poly")
     r_evals = _random_mont(rng, (n,))
-    r_comm = decode_point_host(kzg.commit_lagrange(srs, r_evals))
-    tr.common_point(r_comm)
+    batch_comms = kzg.commit_many(
+        srs, z_list + phi_list + shz_list + [r_evals])
+    for cpt in batch_comms:
+        tr.common_point(cpt)
+    nz, nphi, nshz = len(z_list), len(phi_list), len(shz_list)
+    z_comms = batch_comms[:nz]
+    phi_comms = batch_comms[nz:nz + nphi]
+    shz_comms = batch_comms[nz + nphi:nz + nphi + nshz]
+    r_comm = batch_comms[-1]
 
     _span("phase5: quotient")
     y = tr.challenge()
@@ -692,10 +702,8 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     h_pieces = [jnp.asarray(p) for p in h_pieces]
     _maybe_release_executables(n)
     _span("phase5b: commit h")
-    h_comms = []
-    for piece in h_pieces:
-        cpt = decode_point_host(kzg.commit_coeff(srs, piece))
-        h_comms.append(cpt)
+    h_comms = kzg.commit_many(srs, h_pieces, lagrange=False)
+    for cpt in h_comms:
         tr.common_point(cpt)
 
     _span("phase6: evaluations")
@@ -787,16 +795,16 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
     for i, piece in enumerate(h_pieces):
         groups[x].append((nttmod.ntt(FR, piece), f"h{i}@0"))
 
-    opening_comms = []
+    w_stacks = []
     for point in sorted(groups):
         items = groups[point]
         lag_stack = jnp.stack([poly for poly, _ in items])
         ev_stack = jnp.stack(
             [limbs.const(FR, evals[label]) for _, label in items])
-        w_evals = kern.stage_open(lag_stack, ev_stack, v_dev,
-                                  limbs.const(FR, point))
-        cpt = decode_point_host(kzg.commit_lagrange(srs, w_evals))
-        opening_comms.append(cpt)
+        w_stacks.append(kern.stage_open(lag_stack, ev_stack, v_dev,
+                                        limbs.const(FR, point)))
+    opening_comms = kzg.commit_many(srs, w_stacks)
+    for cpt in opening_comms:
         tr.common_point(cpt)
 
     _span("done")

@@ -70,6 +70,10 @@ def gen_srs(k: int, seed: bytes = b"ezkl-tpu insecure srs") -> SRS:
     bits = curve.scalars_to_bits(powers_raw)          # (256, n)
     g = curve.generator((n,))
     g1 = jax.jit(curve.scalar_mul)(g, bits)
+    # normalize to affine (z == 1): the MSM's fast path gathers only (x, y)
+    # and uses mixed adds, which needs z == 1 on every lane
+    ax, ay = curve._to_affine_jit(g1)
+    g1 = curve.from_affine(ax, ay)
 
     g2 = pairing.G2_GEN
     s_g2 = pairing.g2_mul(g2, tau)

@@ -38,6 +38,41 @@ def test_freivalds_catches_tamper():
     assert _freivalds_case(True)
 
 
+def _bmm_case(tamper: bool, shared_b: bool):
+    cfg = BaseConfig()
+    ctx = LayoutCtx(cfg, 10)
+    Bt, M, K, N = 3, 4, 6, 5
+    A = TVal(rng.integers(-50, 50, (Bt, M, K)).astype(np.int64), 7, None)
+    bsh = (K, N) if shared_b else (Bt, K, N)
+    B = TVal(rng.integers(-50, 50, bsh).astype(np.int64), 7, None)
+    mod = get_freivalds(cfg)
+    C = A.ints @ (B.ints if not shared_b else B.ints[None])
+    if tamper:
+        C = C.copy()
+        C[1, 2, 3] += 1
+    mod.bmm(ctx, A, B, C, shared_b=shared_b)
+    asg = ctx.finalize()
+    ch = {0: 0xDEADBEEF1234567}
+    asg.apply_phase1(ch)
+    return mock.verify(asg, ch)
+
+
+def test_bmm_batched_clean():
+    assert _bmm_case(False, shared_b=False) == []
+
+
+def test_bmm_batched_tamper():
+    assert _bmm_case(True, shared_b=False)
+
+
+def test_bmm_shared_b_clean():
+    assert _bmm_case(False, shared_b=True) == []
+
+
+def test_bmm_shared_b_tamper():
+    assert _bmm_case(True, shared_b=True)
+
+
 def test_poseidon_module_matches_host():
     cfg = BaseConfig()
     ctx = LayoutCtx(cfg, 10)

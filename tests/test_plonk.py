@@ -68,6 +68,19 @@ def test_mock_ok_and_tampered():
     assert any(f.kind == "gate" for f in fails)
 
 
+def test_mock_chunked_matches_whole_domain(monkeypatch):
+    """The chunked gate path (k>=20 domains) must report exactly the same
+    failures as the whole-domain jit."""
+    cs, cols = build_circuit()
+    ok = build_assignment(cs, cols)
+    bad = build_assignment(cs, cols, tamper=True)
+    whole = [(f.kind, f.name, f.rows) for f in mock.verify(bad)]
+    monkeypatch.setattr(mock, "_GATE_CHUNK", 4)  # force chunking (n=16)
+    assert mock.verify(ok) == []
+    chunked = [(f.kind, f.name, f.rows) for f in mock.verify(bad)]
+    assert chunked == whole
+
+
 def test_prove_and_verify_roundtrip():
     cs, cols = build_circuit()
     asg = build_assignment(cs, cols)
