@@ -132,7 +132,7 @@ def main():
             sc[15] &= 0x03FF  # < 2^250, safely below the Fr modulus
             return jnp.asarray(sc)
 
-        out = msmmod.msm_jit(P, rand_sc(), c=c)
+        out = msmmod.msm_jit(P, rand_sc(), c=c, affine=True)
         np.asarray(out.x)  # warm-up compile + run
         # fresh scalars per iteration so no caching can short-circuit, and a
         # host copy of each result: block_until_ready is NOT reliable on the
@@ -141,7 +141,7 @@ def main():
         jax.block_until_ready(scs)
         t0 = time.perf_counter()
         for s in scs:
-            o = msmmod.msm_jit(P, s, c=c)
+            o = msmmod.msm_jit(P, s, c=c, affine=True)
             np.asarray(o.x)
         dt = (time.perf_counter() - t0) / iters
         pts_per_s = n / dt

@@ -610,7 +610,7 @@ class Model:
                 off = len(batch) - (len(shape) - 2)
                 oidx = tuple(0 if shape[i] == 1 else bi[off + i]
                              for i in range(len(shape) - 2))
-                grid = np.arange(int(np.prod(shape, np.int64))).reshape(shape)
+                grid = np.arange(int(np.prod(shape, dtype=np.int64))).reshape(shape)
                 sl = grid[oidx]
                 return ops.reindex(tv, sl.reshape(-1), sl.shape)
 
@@ -1333,8 +1333,6 @@ class Model:
         direction = node.attrs.get("direction", b"forward")
         if isinstance(direction, bytes):
             direction = direction.decode()
-        if direction != "forward":
-            raise NotImplementedError("bidirectional recurrent nets")
         named = ins  # node.inputs with '' dropped: X, W, R, [B, initial_h, initial_c]
         X, W, R = named[0], named[1], named[2]
         B = named[3] if len(named) > 3 else None
@@ -1343,27 +1341,63 @@ class Model:
         G = {"RNN": 1, "GRU": 3, "LSTM": 4}[kind]
         seq, batch, I = X.shape
         s = ra.input_scale
+        assert W.span is None and R.span is None, \
+            "recurrent weights must be constant"
+        dirs = {"forward": [False], "reverse": [True],
+                "bidirectional": [False, True]}[direction]
+        D = len(dirs)
 
-        def const2d(tv, shape):
-            return TVal(tv.ints.reshape(shape), tv.scale, tv.span)
+        per_dir = []
+        for d, rev in enumerate(dirs):
+            ys, h, c = self._recurrent_dir(
+                ctx, align, kind, G, H, seq, batch, I, s, d, rev,
+                X, W, R, B, init_h, init_c)
+            per_dir.append((ys, h, c))
+        # ONNX Y layout: (seq, num_directions, batch, H)
+        y_rows = []
+        for t in range(seq):
+            for ys, _, _ in per_dir:
+                y_rows.append(ys[t])
+        Y = ops.concat(ctx, y_rows, 0) if len(y_rows) > 1 else y_rows[0]
+        Y = TVal(Y.ints.reshape(seq, D, batch, H), Y.scale, Y.span)
+        h_rows = [TVal(h.ints.reshape(1, batch, H), h.scale, h.span)
+                  for _, h, _ in per_dir]
+        Yh = ops.concat(ctx, h_rows, 0) if len(h_rows) > 1 else h_rows[0]
+        outs = [Y, Yh]
+        if kind == "LSTM":
+            c_rows = [TVal(c.ints.reshape(1, batch, H), c.scale, c.span)
+                      for _, _, c in per_dir]
+            outs.append(ops.concat(ctx, c_rows, 0) if len(c_rows) > 1
+                        else c_rows[0])
+        return outs
 
-        assert W.span is None and R.span is None, "recurrent weights must be constant"
-        Wt = TVal(np.ascontiguousarray(W.ints.reshape(G * H, I).T), W.scale, None)
-        Rt = TVal(np.ascontiguousarray(R.ints.reshape(G * H, H).T), R.scale, None)
+    def _recurrent_dir(self, ctx, align, kind, G, H, seq, batch, I, s,
+                       d, reverse, X, W, R, B, init_h, init_c):
+        """One direction of an RNN/GRU/LSTM: unrolled cell chain over the
+        (possibly reversed) sequence. d indexes the num_directions axis of
+        W (D, G*H, I) / R (D, G*H, H) / B (D, 2*G*H) / init (D, batch, H)."""
+        ra = self.run_args
+
+        Wt = TVal(np.ascontiguousarray(
+            W.ints.reshape(-1, G * H, I)[d].T), W.scale, None)
+        Rt = TVal(np.ascontiguousarray(
+            R.ints.reshape(-1, G * H, H)[d].T), R.scale, None)
 
         def requant_state(tv, shape):
             if tv is None:
                 return TVal(np.zeros(shape, np.int64), s, None)
-            f = tv.ints.astype(np.float64) / (1 << tv.scale)
-            return TVal(quantize(f.reshape(shape), s), s, None)
+            f = (tv.ints.reshape(-1, *shape)[d].astype(np.float64)
+                 / (1 << tv.scale))
+            return TVal(quantize(f, s), s, None)
 
         h = requant_state(init_h, (batch, H))
         c = requant_state(init_c, (batch, H)) if kind == "LSTM" else None
 
-        # bias split: B = [Wb || Rb], each G*H
+        # bias split: B[d] = [Wb || Rb], each G*H
         wb = rb = None
         if B is not None:
-            bf = B.ints.astype(np.float64).reshape(-1) / (1 << B.scale)
+            bf = (B.ints.reshape(-1, 2 * G * H)[d].astype(np.float64)
+                  / (1 << B.scale))
             wb_f, rb_f = bf[:G * H], bf[G * H:]
             gate_scale = X.scale + W.scale
             wb = TVal(quantize(wb_f.reshape(1, G * H), gate_scale), gate_scale, None)
@@ -1375,8 +1409,9 @@ class Model:
             return ops.reindex(g, idx.reshape(-1), (batch, H))
 
         x_grid = np.arange(int(np.prod(X.shape, dtype=np.int64))).reshape(X.shape)
-        ys = []
-        for t in range(seq):
+        t_order = range(seq - 1, -1, -1) if reverse else range(seq)
+        ys_by_t = {}
+        for t in t_order:
             xt = ops.reindex(X, x_grid[t].reshape(-1), (batch, I))
             gx = ops.matmul(ctx, xt, Wt)
             if wb is not None:
@@ -1433,12 +1468,8 @@ class Model:
                 tc = ops.tanh_op(ctx, c, s, ra.lookup_range)
                 nh = ops.pairwise(ctx, "mul", o_g, tc)
                 h = ops.div_rebase(ctx, nh, s, ra.lookup_range)
-            ys.append(TVal(h.ints.reshape(1, 1, batch, H), h.scale, h.span))
-        Y = ops.concat(ctx, ys, 0) if len(ys) > 1 else ys[0]
-        outs = [Y, TVal(h.ints.reshape(1, batch, H), h.scale, h.span)]
-        if kind == "LSTM":
-            outs.append(TVal(c.ints.reshape(1, batch, H), c.scale, c.span))
-        return outs
+            ys_by_t[t] = TVal(h.ints.reshape(1, 1, batch, H), h.scale, h.span)
+        return [ys_by_t[t] for t in range(seq)], h, c
 
     def _batchnorm(self, ctx, node, ins, align):
         """Fold BN into a constant affine: y = x*gn + bn (host-folded)."""

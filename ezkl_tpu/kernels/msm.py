@@ -81,16 +81,26 @@ def _pdbl(p: PointP) -> PointP:
     return curve.dbl(p)
 
 
-def default_window_bits(n: int) -> int:
-    """Window size: minimize ceil(254/c) * (linear work + bucket work).
+def _use_signed() -> bool:
+    import os
+    return os.environ.get("EZKL_TPU_SIGNED", "1") not in ("0", "false")
+
+
+def default_window_bits(n: int, signed: bool | None = None) -> int:
+    """Window size: minimize n_windows * (linear work + bucket work).
 
     Costs measured on v5e (docs/PERF.md r4): per-point sort+gather+scan
-    ≈ 75 ns, per-bucket (boundary gathers + combine + fold) ≈ 190 ns.
+    ≈ 60 ns (packed-gather), per-bucket (boundary gathers + combine +
+    fold) ≈ 190 ns. Signed digits halve the bucket count per window
+    (magnitudes in [0, 2^(c-1)]) and shave windows at odd c.
     """
+    if signed is None:
+        signed = _use_signed()
     best_c, best_t = 2, float("inf")
     for c in range(2, 21):
-        w = -(-254 // c)
-        t = w * (n * 75e-9 + (1 << c) * 190e-9)
+        w = len(_signed_windows(c)) if signed else -(-254 // c)
+        nb = (1 << (c - 1)) if signed else (1 << c)
+        t = w * (n * 60e-9 + nb * 190e-9)
         if t < best_t:
             best_c, best_t = c, t
     return best_c
@@ -127,6 +137,57 @@ def extract_digits(scalars: jnp.ndarray, c: int) -> jnp.ndarray:
             got += LIMB_BITS
         outs.append(d & mask)
     return jnp.stack(outs, axis=0)
+
+
+@functools.lru_cache(maxsize=32)
+def _signed_windows(c: int) -> range:
+    """Number of c-bit SIGNED windows covering any reduced Fr scalar.
+
+    W starts at ceil(254/c); the recoding carry out of the top window must
+    vanish, which needs max_top_digit + 1 <= 2^(c-1) — verified against
+    the actual modulus (e.g. c=17: W=15, top digit <= p>>238 ~ 2^15.6)."""
+    p = bn254_fr().modulus
+    W = -(-254 // c)
+    while ((p - 1) >> ((W - 1) * c)) + 1 > (1 << (c - 1)):
+        W += 1
+    return range(W)
+
+
+def extract_digits_signed(scalars: jnp.ndarray, c: int):
+    """(16, N) raw Fr limbs -> (mags, negs), each (W, N).
+
+    Signed recoding: scalar = sum_w s_w * mags[w] * 2^(c*w) with
+    s_w = -1 where negs[w] else +1 and mags in [0, 2^(c-1)]. Digits above
+    2^(c-1) borrow from the next window (d -> d - 2^c, carry 1), so every
+    window needs only 2^(c-1) buckets — half the unsigned count."""
+    raw = extract_digits(scalars, c)
+    W0 = raw.shape[0]
+    M = _U32(1 << (c - 1))
+    full = _U32(1 << c)
+    mags, negs = [], []
+    carry = jnp.zeros(raw.shape[1:], dtype=_U32)
+    for w in _signed_windows(c):
+        d = (raw[w] if w < W0 else jnp.zeros_like(carry)) + carry
+        ng = d > M
+        mags.append(jnp.where(ng, full - d, d))
+        negs.append(ng)
+        carry = ng.astype(_U32)
+    return jnp.stack(mags, axis=0), jnp.stack(negs, axis=0)
+
+
+def _pack2(a: jnp.ndarray) -> jnp.ndarray:
+    """(16, ...) u32 arrays holding 16-bit limbs -> (8, ...) packed u32.
+
+    The TPU gather unit is per-ELEMENT bound (~1.2 ns/elem regardless of
+    layout, docs/PERF.md r4), so gathering coordinates packed two limbs
+    per u32 halves the MSM's dominant per-window cost."""
+    return a[0::2] | (a[1::2] << _U32(16))
+
+
+def _unpack2(a: jnp.ndarray) -> jnp.ndarray:
+    """(8, ...) packed -> (16, ...) 16-bit limbs (inverse of _pack2)."""
+    out = jnp.stack([a & _U32(0xFFFF), a >> _U32(16)], axis=1)
+    return out.reshape((a.shape[0] * 2,) + a.shape[1:])
 
 
 # ---------------------------------------------------------------------------
@@ -222,7 +283,8 @@ def fold_points(p: PointP) -> PointP:
 # ---------------------------------------------------------------------------
 
 def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
-        group: int | None = None, affine: bool = False) -> PointP:
+        group: int | None = None, affine: bool = False,
+        signed: bool | None = None) -> PointP:
     """sum_i scalars[i] * points[i].
 
     points: projective PointP with batch shape (N,), N a power of two
@@ -231,12 +293,14 @@ def msm(points: PointP, scalars: jnp.ndarray, c: int | None = None,
     scalars: (16, N) RAW (non-Montgomery) Fr limbs.
     Returns a single projective PointP (batch shape ()).
     """
-    res = msm_multi(points, scalars[None], c=c, group=group, affine=affine)
+    res = msm_multi(points, scalars[None], c=c, group=group, affine=affine,
+                    signed=signed)
     return jax.tree.map(lambda a: a[..., 0], res)
 
 
 def msm_multi(points: PointP, scalars: jnp.ndarray, c: int | None = None,
-              group: int | None = None, affine: bool = False) -> PointP:
+              group: int | None = None, affine: bool = False,
+              signed: bool | None = None) -> PointP:
     """Batched-column MSM: out[t] = sum_i scalars[t, i] * points[i].
 
     scalars: (C, 16, N) RAW limbs over a SHARED point set; returns PointP
@@ -249,19 +313,32 @@ def msm_multi(points: PointP, scalars: jnp.ndarray, c: int | None = None,
     affine=True asserts every point has z == 1 (SRS bases): the kernel
     then gathers only (x, y) and runs 11-mul mixed adds — measured ~35%
     faster end-to-end (docs/PERF.md).
+
+    signed=True (default via EZKL_TPU_SIGNED) uses signed window digits:
+    magnitudes in [0, 2^(c-1)] with per-point y-negation, halving bucket
+    work and dropping a window at c=17 (15 windows over 254 bits).
     """
+    if signed is None:
+        signed = _use_signed()
     if _use_pallas():
         return _msm_multi_fused(points, scalars, c=c, group=group,
-                                affine=affine)
+                                affine=affine, signed=signed)
     C = scalars.shape[0]
     n = scalars.shape[-1]
     assert (n & (n - 1)) == 0, "msm: pad N to a power of two"
     if c is None:
-        c = default_window_bits(n)
+        c = default_window_bits(n, signed)
     if group is None:
         group = default_group(n, c)
-    nbuckets = 1 << c
-    digits = jax.vmap(lambda s: extract_digits(s, c))(scalars)  # (C, W, N)
+    if signed:
+        mags, negs = jax.vmap(
+            lambda s: extract_digits_signed(s, c))(scalars)   # (C, W, N) x2
+        digits = mags
+        n_bound = 1 << (c - 1)         # magnitudes reach 2^(c-1) inclusive
+    else:
+        digits = jax.vmap(lambda s: extract_digits(s, c))(scalars)
+        negs = jnp.zeros_like(digits, dtype=bool)
+        n_bound = (1 << c) - 1
     W = digits.shape[1]
     # pad W (per column) to a multiple of the group size with all-zero
     # windows, so groups never span two columns
@@ -269,24 +346,32 @@ def msm_multi(points: PointP, scalars: jnp.ndarray, c: int | None = None,
     if Wp != W:
         digits = jnp.concatenate(
             [digits, jnp.zeros((C, Wp - W, n), dtype=_U32)], axis=1)
+        negs = jnp.concatenate(
+            [negs, jnp.zeros((C, Wp - W, n), dtype=bool)], axis=1)
     dgroups = digits.reshape(C * Wp // group, group, n)
+    ngroups = negs.reshape(C * Wp // group, group, n)
 
-    total = fold_points(points)
+    fq = bn254_fq()
+    b_queries = jnp.arange(1, n_bound + 1, dtype=_U32)
 
-    b_queries = jnp.arange(1, nbuckets, dtype=_U32)
-
-    def group_body(_, d):
-        # d: (G, N) digits for G windows
+    def group_body(_, d_ng):
+        d, ng = d_ng                                          # (G, N) each
         order = jnp.argsort(d, axis=-1)
         sorted_d = jnp.take_along_axis(d, order, axis=-1)
         # points coords (16, N) gathered with (G, N) -> (16, G, N)
         sorted_pts = jax.tree.map(lambda a: jnp.take(a, order, axis=-1), points)
+        if signed:
+            sn = jnp.take_along_axis(ng, order, axis=-1)      # (G, N)
+            sorted_pts = PointP(sorted_pts.x,
+                                limbs.select(sn, limbs.neg(fq, sorted_pts.y),
+                                             sorted_pts.y),
+                                sorted_pts.z)
         starts = jax.vmap(lambda sd: jnp.searchsorted(sd, b_queries))(sorted_d)
-        safe = jnp.maximum(starts, 1) - 1                     # (G, B-1)
-        # prefix values are only needed at the B-1 bucket-boundary
-        # positions: take block-local inclusive prefixes + block-offset
-        # prefixes and combine AT THOSE POSITIONS only — saves the N-wide
-        # combine add per window (~25% of MSM adds at large N).
+        safe = jnp.maximum(starts, 1) - 1                     # (G, B)
+        # prefix values are only needed at the bucket-boundary positions:
+        # take block-local inclusive prefixes + block-offset prefixes and
+        # combine AT THOSE POSITIONS only — saves the N-wide combine add
+        # per window (~25% of MSM adds at large N).
         if n > _BLOCK:
             m = n // _BLOCK
             pr = jax.tree.map(
@@ -294,12 +379,13 @@ def msm_multi(points: PointP, scalars: jnp.ndarray, c: int | None = None,
             local = _seq_inclusive(pr)                        # (..,G,m,B)
             totals = jax.tree.map(lambda a: a[..., -1], local)
             tot_incl = prefix_scan_points(totals)             # (..,G,m)
+            t_w = jax.tree.map(lambda a: a[..., -1], tot_incl)  # (16, G)
             loc_flat = jax.tree.map(
                 lambda a: a.reshape(a.shape[:-2] + (n,)), local)
             e_loc = jax.tree.map(
                 lambda a: jnp.take_along_axis(a, safe[None], axis=-1),
-                loc_flat)                                     # (16,G,B-1)
-            blk = safe // _BLOCK                              # (G, B-1)
+                loc_flat)                                     # (16,G,B)
+            blk = safe // _BLOCK                              # (G, B)
             # offset = inclusive prefix of the PREVIOUS block's total
             e_off = jax.tree.map(
                 lambda a: jnp.take_along_axis(
@@ -309,36 +395,43 @@ def msm_multi(points: PointP, scalars: jnp.ndarray, c: int | None = None,
             e_pts = _padd(e_loc, e_off)
         else:
             incl = prefix_scan_points(sorted_pts)
+            t_w = jax.tree.map(lambda a: a[..., -1], incl)    # (16, G)
             e_pts = jax.tree.map(
                 lambda a: jnp.take_along_axis(a, safe[None], axis=-1), incl)
             e_pts = curve.PointP(*e_pts)
+            t_w = curve.PointP(*t_w)
         e_pts = curve.select_point(starts == 0,
                                    curve.identity(starts.shape), e_pts)
-        return None, fold_points(e_pts)                       # (16, G)
+        return None, (fold_points(e_pts), t_w)                # (16, G) x2
 
-    _, f_groups = jax.lax.scan(group_body, None, dgroups)
+    _, (f_groups, t_groups) = jax.lax.scan(
+        group_body, None, (dgroups, ngroups))
     # leaves are (C*Wp/G, 16, G); window w = outer*G + inner -> (16, C, Wp)
     f_w = jax.tree.map(
         lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, C, Wp), f_groups)
+    t_w = jax.tree.map(
+        lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, C, Wp), t_groups)
 
-    # U = (2^c - 1) * Total = 2^c*T - T  (doublings via scan: 1 dbl body)
     def dbl_n(p, n_dbl):
         def body(acc, _):
             return _pdbl(acc), None
         out, _ = jax.lax.scan(body, p, None, length=n_dbl)
         return out
 
-    u = _padd(dbl_n(total, c), _neg_point(total))
-    u_b = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[..., None], a.shape + (C,)), u)
+    # V_w = B * T_w - sum_q prefix_before_q = sum_q suffix_q
+    #     = sum_m m * bucket_m   over this window's B buckets, where T_w is
+    # the window's own signed total (the scan's last element — free).
+    if signed:
+        u = dbl_n(t_w, c - 1)                      # B = 2^(c-1) exactly
+    else:
+        u = _padd(dbl_n(t_w, c), _neg_point(t_w))  # B = 2^c - 1
+    v = _padd(u, _neg_point(f_w))                  # (16, C, Wp)
 
-    # Horner MSB-first over V_w = U - F_w, batched over columns (padded
-    # windows have F_w = (B-1)*Total from all-zero digits, so V_w = 0)
-    def horner_body(acc, fw):
-        v = _padd(u_b, _neg_point(fw))
-        return _padd(dbl_n(acc, c), v), None
+    # Horner MSB-first (padded windows have all-zero digits -> V_w = 0)
+    def horner_body(acc, vw):
+        return _padd(dbl_n(acc, c), curve.PointP(*vw)), None
 
-    rev = jax.tree.map(lambda a: a[..., ::-1], f_w)        # (16, C, Wp)
+    rev = jax.tree.map(lambda a: a[..., ::-1], v)          # (16, C, Wp)
     xs = jax.tree.map(lambda a: jnp.moveaxis(a, -1, 0), rev)  # (Wp, 16, C)
     res, _ = jax.lax.scan(horner_body, curve.identity((C,)), xs)
     return res
@@ -410,46 +503,60 @@ def _prefix_points_fused(p: PointP) -> PointP:
 
 def _msm_multi_fused(points: PointP, scalars: jnp.ndarray,
                      c: int | None = None, group: int | None = None,
-                     affine: bool = False) -> PointP:
+                     affine: bool = False, signed: bool = True) -> PointP:
     from . import pcurve
 
     C = scalars.shape[0]
     n = scalars.shape[-1]
     assert (n & (n - 1)) == 0, "msm: pad N to a power of two"
     if c is None:
-        c = default_window_bits(n)
-    nbuckets = 1 << c
-    digits = jax.vmap(lambda s: extract_digits(s, c))(scalars)  # (C, W, N)
+        c = default_window_bits(n, signed)
+    if signed:
+        mags, negs = jax.vmap(
+            lambda s: extract_digits_signed(s, c))(scalars)  # (C, W, N) x2
+        digits = mags
+        n_bound = 1 << (c - 1)
+    else:
+        digits = jax.vmap(lambda s: extract_digits(s, c))(scalars)
+        negs = jnp.zeros_like(digits, dtype=bool)
+        n_bound = (1 << c) - 1
     W = digits.shape[1]
     G = group if group is not None else _fused_group(n, W)
     Wp = -(-W // G) * G
     if Wp != W:
         digits = jnp.concatenate(
             [digits, jnp.zeros((C, Wp - W, n), dtype=_U32)], axis=1)
+        negs = jnp.concatenate(
+            [negs, jnp.zeros((C, Wp - W, n), dtype=bool)], axis=1)
     dgroups = digits.reshape(C * Wp // G, G, n)
+    ngroups = negs.reshape(C * Wp // G, G, n)
     S = min(_FUSED_S, n)
 
-    if affine:
-        total = pcurve.fold_all((points.x, points.y))
-    else:
-        total = pcurve.fold_all(points)
+    fq = bn254_fq()
+    # packed coordinates: the gather unit is per-element bound, so gather
+    # 8 packed u32 rows instead of 16 limb rows (halves the dominant cost)
+    px, py = _pack2(points.x), _pack2(points.y)
+    pz = None if affine else _pack2(points.z)
 
-    b_queries = jnp.arange(1, nbuckets, dtype=_U32)
-    # bucket partials fold target: pad B-1 bucket sums up to a block
+    b_queries = jnp.arange(1, n_bound + 1, dtype=_U32)
+    # bucket partials fold target: pad the B bucket sums up to a fold-block
     # multiple with identities, fold per window
-    pad_to = max(nbuckets, 128)
-    fold_blk = 1024 if nbuckets >= 2048 else 128
+    fold_blk = 1024 if n_bound >= 2048 else 128
+    pad_to = -(-n_bound // fold_blk) * fold_blk
 
-    def group_body(_, d):
-        # d: (G, N) digits for G windows
+    def group_body(_, d_ng):
+        d, ng = d_ng                                     # (G, N) each
         order = jnp.argsort(d, axis=-1)
         sorted_d = jnp.take_along_axis(d, order, axis=-1)
-        sx = jnp.take(points.x, order, axis=-1)          # (16, G, N)
-        sy = jnp.take(points.y, order, axis=-1)
+        sx = _unpack2(jnp.take(px, order, axis=-1))      # (16, G, N)
+        sy = _unpack2(jnp.take(py, order, axis=-1))
+        if signed:
+            sn = jnp.take_along_axis(ng, order, axis=-1)  # (G, N)
+            sy = limbs.select(sn, limbs.neg(fq, sy), sy)
         if affine:
             sp = (sx.reshape(NLIMBS, -1, S), sy.reshape(NLIMBS, -1, S))
         else:
-            sz = jnp.take(points.z, order, axis=-1)
+            sz = _unpack2(jnp.take(pz, order, axis=-1))
             sp = PointP(sx.reshape(NLIMBS, -1, S),
                         sy.reshape(NLIMBS, -1, S),
                         sz.reshape(NLIMBS, -1, S))
@@ -457,70 +564,83 @@ def _msm_multi_fused(points: PointP, scalars: jnp.ndarray,
         totals = jax.tree.map(
             lambda a: a[..., -1].reshape(NLIMBS, G, n // S), local)
         tot_incl = _prefix_points_fused(totals)          # (16, G, n/S)
+        t_w = jax.tree.map(lambda a: a[..., -1], tot_incl)  # (16, G)
 
         starts = jax.vmap(lambda sd: jnp.searchsorted(sd, b_queries))(sorted_d)
-        safe = jnp.maximum(starts, 1) - 1                # (G, B-1)
+        safe = jnp.maximum(starts, 1) - 1                # (G, B)
         loc_flat = jax.tree.map(
             lambda a: a.reshape(NLIMBS, G, n), local)
         e_loc = jax.tree.map(
             lambda a: jnp.take_along_axis(a, safe[None], axis=-1), loc_flat)
-        blk = safe // S                                  # (G, B-1)
+        blk = safe // S                                  # (G, B)
         e_off = jax.tree.map(
             lambda a: jnp.take_along_axis(
                 a, (jnp.maximum(blk, 1) - 1)[None], axis=-1), tot_incl)
         e_off = curve.select_point(blk == 0,
                                    curve.identity(blk.shape), e_off)
-        e_pts = pcurve.add(e_loc, e_off)                 # (16, G, B-1)
+        e_pts = pcurve.add(e_loc, e_off)                 # (16, G, B)
         e_pts = curve.select_point(starts == 0,
                                    curve.identity(starts.shape), e_pts)
-        # pad B-1 -> pad_to with identity, then per-window lane fold
-        idp = curve.identity((G, pad_to - (nbuckets - 1)))
+        # pad B -> pad_to with identity, then per-window lane fold
+        idp = curve.identity((G, pad_to - n_bound))
         e_pts = jax.tree.map(
             lambda a, b: jnp.concatenate([a, b], axis=-1), e_pts, idp)
         part = pcurve.fold_lanes(e_pts, blk=fold_blk)    # (16, G, fold_blk)
-        return None, part
+        return None, (part, t_w)
 
-    _, parts = jax.lax.scan(group_body, None, dgroups)
+    _, (parts, t_groups) = jax.lax.scan(group_body, None, (dgroups, ngroups))
     # parts leaves: (C*Wp/G, 16, G, fold_blk) -> (16, C*Wp, fold_blk)
     parts = jax.tree.map(
         lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, C * Wp, fold_blk),
         parts)
     f_w = pcurve.reduce_pairwise(parts)                  # (16, C*Wp)
     f_w = jax.tree.map(lambda a: a.reshape(NLIMBS, C, Wp), f_w)
+    t_w = jax.tree.map(
+        lambda a: jnp.moveaxis(a, 1, 0).reshape(NLIMBS, C, Wp), t_groups)
 
-    # U = (2^c - 1) * Total;  V_w = U - F_w;  result = Horner over windows
-    u = pcurve.add(pcurve.dbl_pow2(total, c), _neg_point(total))  # (16,)
-    u_b = jax.tree.map(
-        lambda a: jnp.broadcast_to(a[:, None, None], (NLIMBS, C, Wp)), u)
-    v = pcurve.add(u_b, _neg_point(f_w))                 # (16, C, Wp)
+    # V_w = B * T_w - F_w = sum_m m * bucket_m over this window's buckets,
+    # with T_w the window's own (signed) total from the scan's last element
+    if signed:
+        u = pcurve.dbl_pow2(t_w, c - 1)                  # B = 2^(c-1)
+    else:
+        u = pcurve.add(pcurve.dbl_pow2(t_w, c), _neg_point(t_w))
+    v = pcurve.add(u, _neg_point(f_w))                   # (16, C, Wp)
     v_msb = jax.tree.map(lambda a: jnp.moveaxis(a[..., ::-1], 1, 2), v)
     return pcurve.horner_combine(v_msb, c)               # (16, C)
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_msm(c: int, group: int | None):
-    return jax.jit(functools.partial(msm, c=c, group=group))
+def _jitted_msm(c: int, group: int | None, affine: bool, signed: bool):
+    return jax.jit(functools.partial(msm, c=c, group=group, affine=affine,
+                                     signed=signed))
 
 
 def msm_jit(points: PointP, scalars: jnp.ndarray, c: int | None = None,
-            group: int | None = None) -> PointP:
+            group: int | None = None, affine: bool = False,
+            signed: bool | None = None) -> PointP:
+    if signed is None:
+        signed = _use_signed()
     n = scalars.shape[-1]
     if c is None:
-        c = default_window_bits(n)
-    return _jitted_msm(c, group)(points, scalars)
+        c = default_window_bits(n, signed)
+    return _jitted_msm(c, group, affine, signed)(points, scalars)
 
 
 @functools.lru_cache(maxsize=16)
-def _jitted_msm_multi(c: int, group: int | None):
-    return jax.jit(functools.partial(msm_multi, c=c, group=group))
+def _jitted_msm_multi(c: int, group: int | None, affine: bool, signed: bool):
+    return jax.jit(functools.partial(msm_multi, c=c, group=group,
+                                     affine=affine, signed=signed))
 
 
 def msm_multi_jit(points: PointP, scalars: jnp.ndarray, c: int | None = None,
-                  group: int | None = None) -> PointP:
+                  group: int | None = None, affine: bool = False,
+                  signed: bool | None = None) -> PointP:
+    if signed is None:
+        signed = _use_signed()
     n = scalars.shape[-1]
     if c is None:
-        c = default_window_bits(n)
-    return _jitted_msm_multi(c, group)(points, scalars)
+        c = default_window_bits(n, signed)
+    return _jitted_msm_multi(c, group, affine, signed)(points, scalars)
 
 
 def pad_msm_inputs(points: PointP, scalars: jnp.ndarray):

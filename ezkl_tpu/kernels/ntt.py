@@ -85,6 +85,13 @@ def ntt(spec: FieldSpec, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndar
 
     Forward: evals[i] = sum_j coeffs[j] * w^(i*j). Inverse includes the
     1/n scaling (true inverse of `ntt(..., inverse=False)`).
+
+    Large sizes use the four-step (Bailey) decomposition: early radix-2
+    stages on a minor-most data axis force (…, n/m, m) layouts with m < 128
+    whose XLA tile relayouts cost more than the arithmetic (measured 378 ms
+    at 2^18, docs/PERF.md). Splitting n = n1*n2 keeps every butterfly on a
+    SECOND-minor axis with a >=128-wide contiguous minor axis: column NTT,
+    twiddle multiply, transpose, column NTT, transpose.
     """
     n = coeffs.shape[-1]
     assert coeffs.shape[0] == NLIMBS
@@ -92,6 +99,26 @@ def ntt(spec: FieldSpec, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndar
     assert (1 << k) == n, "n must be a power of two"
     if n == 1:
         return coeffs
+    if _use_fourstep(k):
+        return _ntt_four_step(spec, coeffs, k, inverse)
+    return _ntt_radix2(spec, coeffs, k, inverse)
+
+
+def _use_fourstep(k: int) -> bool:
+    import os
+    if k < 2 * _FOURSTEP_MIN_K:
+        return False
+    env = os.environ.get("EZKL_TPU_FOURSTEP")
+    if env is not None:
+        return env not in ("0", "false")
+    # measured on v5e: 1.5x faster at 2^18 (14.8 vs 21.9 ms), but SLOWER at
+    # 2^20 (transpose + 5-D stage relayouts dominate) — docs/PERF.md r4
+    return k <= 19 and limbs._use_pallas_field()
+
+
+def _ntt_radix2(spec: FieldSpec, coeffs: jnp.ndarray, k: int,
+                inverse: bool) -> jnp.ndarray:
+    n = 1 << k
     bdims = coeffs.ndim - 2  # batch dims between limb axis and data axis
 
     tw = _twiddles(spec, k, inverse)  # (16, n/2)
@@ -123,6 +150,95 @@ def ntt(spec: FieldSpec, coeffs: jnp.ndarray, inverse: bool = False) -> jnp.ndar
         ninv = jnp.asarray(_n_inv_const(spec, k)).reshape((NLIMBS,) + (1,) * (bdims + 1))
         x = limbs.mont_mul(spec, x, jnp.broadcast_to(ninv, x.shape))
     return x
+
+
+_FOURSTEP_MIN_K = 7   # each factor >= 2^7: keeps the minor axis >= 128
+
+
+@functools.lru_cache(maxsize=64)
+def _fourstep_twiddle(spec: FieldSpec, k: int, inverse: bool) -> jnp.ndarray:
+    """W[i1, i2] = w_n^(i1*i2) as (16, n1, n2) Montgomery limbs.
+
+    Built from the master power table P = [w^0 .. w^(n-1)] (n host bigint
+    muls + one vectorized encode), then indexed as P[(i1*i2) mod n] with a
+    pure-numpy u32 gather."""
+    k1 = k // 2
+    k2 = k - k1
+    n1, n2 = 1 << k1, 1 << k2
+    n = 1 << k
+    w = root_of_unity(spec, k, inverse)
+    p = spec.modulus
+    pw = np.empty(n, dtype=object)
+    acc = 1
+    for i in range(n):
+        pw[i] = acc
+        acc = (acc * w) % p
+    P = limbs.encode(spec, pw)                               # (16, n)
+    idx = (np.arange(n1, dtype=np.int64)[:, None]
+           * np.arange(n2, dtype=np.int64)[None, :]) % n
+    # NUMPY result: a jnp array built during an outer jit trace would cache
+    # a tracer (UnexpectedTracerError on reuse); callers lift per-trace
+    return np.ascontiguousarray(P[:, idx])
+
+
+def _column_ntt(spec: FieldSpec, x: jnp.ndarray, inverse: bool,
+                tw_full: jnp.ndarray) -> jnp.ndarray:
+    """Radix-2 NTT along AXIS -2 of (16, L, m, n2): butterflies slice the
+    second-minor axis, the contiguous minor axis rides every kernel at
+    full width. tw_full: (16, m/2) master twiddles for size m."""
+    from . import pntt
+    L, m, n2 = x.shape[1], x.shape[2], x.shape[3]
+    x = x[:, :, _bitrev_perm(int(m).bit_length() - 1), :]
+    use_bfly = limbs._use_pallas_field()
+    for s in range(1, int(m).bit_length()):
+        blk = 1 << s
+        half = blk // 2
+        xr = x.reshape(NLIMBS, L, m // blk, blk, n2)
+        a = xr[:, :, :, :half, :]
+        b = xr[:, :, :, half:, :]
+        w = tw_full[:, :: (m // blk)]                 # (16, half)
+        wb = w[:, None, None, :, None]
+        if use_bfly:
+            hi, lo = pntt.bfly(spec, a, b,
+                               jnp.broadcast_to(wb, a.shape))
+        else:
+            t = limbs.mont_mul(spec, b, jnp.broadcast_to(wb, a.shape))
+            hi, lo = limbs.add(spec, a, t), limbs.sub(spec, a, t)
+        x = jnp.concatenate([hi, lo], axis=3).reshape(NLIMBS, L, m, n2)
+    return x
+
+
+def _ntt_four_step(spec: FieldSpec, coeffs: jnp.ndarray, k: int,
+                   inverse: bool) -> jnp.ndarray:
+    shape = coeffs.shape
+    lead = shape[1:-1]
+    L = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    n = 1 << k
+    k1 = k // 2
+    k2 = k - k1
+    n1, n2 = 1 << k1, 1 << k2
+    x = coeffs.reshape(NLIMBS, L, n1, n2)
+    # Derivation: x[i] = X[i1, i2] with i = i1*n2 + i2. out[j] =
+    # sum_i x[i] w^(i j). Write j = j1 + n1*j2 (j1 < n1, j2 < n2):
+    #   out[j1 + n1 j2]
+    #     = sum_{i2} w^(i2 (j1 + n1 j2)) * sum_{i1} X[i1, i2] w^(n2 i1 j1)
+    # inner sum: length-n1 DFT over i1 (columns of X) at j1 (w^n2 = w_n1);
+    # then twiddle w^(j1 i2); then length-n2 DFT over i2 at j2
+    # (w^(n1 n2 i2 j2) = w_{n2}^(i2 j2)).
+    tw1 = _twiddles(spec, k1, inverse)
+    y = _column_ntt(spec, x, inverse, tw1)            # (16, L, j1, i2)
+    wt = jnp.asarray(_fourstep_twiddle(spec, k, inverse))  # (16,n1,n2): w^(j1*i2)
+    y = limbs.mont_mul(spec, y, wt[:, None])
+    y = jnp.swapaxes(y, 2, 3)                         # (16, L, i2, j1)
+    tw2 = _twiddles(spec, k2, inverse)
+    z = _column_ntt(spec, y, inverse, tw2)            # (16, L, j2, j1)
+    # out[j1 + n1 j2] = z[j2, j1]: flattening (j2-major, j1-minor) gives
+    # index n1*j2 + j1 directly
+    out = z.reshape(NLIMBS, L, n)
+    if inverse:
+        ninv = jnp.asarray(_n_inv_const(spec, k))[:, None, None]
+        out = limbs.mont_mul(spec, out, jnp.broadcast_to(ninv, out.shape))
+    return out.reshape(shape)
 
 
 def intt(spec: FieldSpec, evals: jnp.ndarray) -> jnp.ndarray:

@@ -163,11 +163,13 @@ def _eval_label(kind: str, index: int, rotation: int) -> str:
 
 
 def _maybe_release_executables(n: int):
-    """Large circuits accumulate enough LLVM JIT code sections on the CPU
+    """Circuits accumulate enough LLVM JIT code sections on the CPU
     backend to exhaust section memory ("Unable to allocate section
-    memory"). Dropping the in-process executable cache between heavy
-    phases frees them; recompiles hit the persistent disk cache."""
-    if n >= 2048 and jax.default_backend() == "cpu" \
+    memory" / segfaults — seen at k=10 already). Dropping the in-process
+    executable cache between heavy phases frees them; recompiles hit the
+    persistent disk cache."""
+    del n
+    if jax.default_backend() == "cpu" \
             and not _os.environ.get("EZKL_TPU_KEEP_EXECUTABLES"):
         jax.clear_caches()
 
@@ -594,6 +596,7 @@ def _create_proof_impl(pk: ProvingKey, srs: SRS, asg: Assignment,
             return cols.at[:, :, a + 1:].set(r)
         return cols.at[:, a + 1:].set(r)
 
+    _maybe_release_executables(n)
     _span("phase1: bind vk+instances")
     tr.common_bytes(pk.vk.transcript_repr())
     for col in asg.instance:

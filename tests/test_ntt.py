@@ -73,3 +73,27 @@ def test_ntt_is_polynomial_eval():
         for c in reversed(vals):
             want = (want * x + c) % p
         assert got[i] == want
+
+
+def test_fourstep_matches_radix2(monkeypatch):
+    """The four-step (Bailey) decomposition must equal the radix-2 path,
+    including batched inputs and the inverse roundtrip (the TPU uses
+    four-step for k >= 14; forced on here via its env knob)."""
+    monkeypatch.setenv("EZKL_TPU_FOURSTEP", "1")
+    k = 14
+    n = 1 << k
+    import numpy as np
+    rng = np.random.default_rng(8)
+    v = rng.integers(0, 1 << 16, size=(16, n), dtype=np.int64).astype(np.uint32)
+    v[15] &= 0x03FF
+    dev = jnp.asarray(v)
+    four = np.asarray(nttmod._ntt_four_step(FR, dev, k, False))
+    rad = np.asarray(nttmod._ntt_radix2(FR, dev, k, False))
+    np.testing.assert_array_equal(four, rad)
+    # batched (16, 2, n)
+    dev2 = jnp.stack([dev, dev], axis=1)
+    four2 = np.asarray(nttmod._ntt_four_step(FR, dev2, k, False))
+    np.testing.assert_array_equal(four2[:, 0], rad)
+    # inverse roundtrip through the dispatching entry point
+    back = np.asarray(nttmod.ntt(FR, nttmod.ntt(FR, dev), inverse=True))
+    np.testing.assert_array_equal(back, np.asarray(dev))
