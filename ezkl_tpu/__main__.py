@@ -99,6 +99,12 @@ def main(argv=None):
     p.add_argument("--sol-code-path", default="Verifier.sol")
     cmd("deploy-evm")
     cmd("verify-evm")
+    p = cmd("aggregate")
+    p.add_argument("--proof-paths", nargs="+", default=["proof.json"])
+    p.add_argument("--vk-paths", nargs="+", default=["vk.key"])
+    p = cmd("verify-aggr")
+    p.add_argument("--aggr-path", default="proof_aggr.json")
+    p.add_argument("--vk-paths", nargs="+", default=["vk.key"])
     p = cmd("table")
     _add_run_args(p)
     p = cmd("gen-random-data")
@@ -166,6 +172,17 @@ def main(argv=None):
         print(f"Solidity verifier -> {ns.sol_code_path}")
     elif c in ("deploy-evm", "verify-evm"):
         getattr(api, c.replace("-", "_"))()
+    elif c == "aggregate":
+        vkp = ns.vk_paths if len(ns.vk_paths) > 1 else ns.vk_paths[0]
+        agg = api.aggregate(ns.proof_paths, vkp,
+                            ns.output or "proof_aggr.json", ns.srs_path)
+        print(f"aggregated {agg['num_proofs']} proofs -> "
+              f"{ns.output or 'proof_aggr.json'} (one pairing to verify)")
+    elif c == "verify-aggr":
+        vkp = ns.vk_paths if len(ns.vk_paths) > 1 else ns.vk_paths[0]
+        ok = api.verify_aggr(ns.aggr_path, vkp, ns.srs_path)
+        print("aggregate verified" if ok else "AGGREGATE VERIFICATION FAILED")
+        sys.exit(0 if ok else 1)
     elif c == "table":
         print(api.table(ns.model, _run_args_from(ns)))
     elif c == "gen-random-data":

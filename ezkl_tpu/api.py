@@ -336,6 +336,45 @@ def verify(proof_path="proof.json", vk_path="vk.key", srs_path=None,
         return False  # malformed proof = invalid
 
 
+def aggregate(proof_paths, vk_paths, output="proof_aggr.json",
+              srs_path=None) -> dict:
+    """Fold N verified proofs into one aggregate artifact whose check is a
+    SINGLE pairing (reference `aggregate`, `src/execute.rs`; ours is the
+    native RLC fold — see plonk/aggregate.py for the scoping note).
+
+    vk_paths: one per proof, or a single path reused for all proofs."""
+    from .plonk import aggregate as aggr_mod
+    if isinstance(vk_paths, (str, pathlib.Path)):
+        vk_paths = [vk_paths] * len(proof_paths)
+    vks = [serde_mod.load_vk(p) for p in vk_paths]
+    proofs = [Proof.from_json(pathlib.Path(p).read_text())
+              for p in proof_paths]
+    agg = aggr_mod.aggregate(vks, proofs)
+    pathlib.Path(output).write_text(json.dumps(agg))
+    return agg
+
+
+def verify_aggr(aggr_path="proof_aggr.json", vk_paths="vk.key",
+                srs_path=None) -> bool:
+    """Verify an aggregate artifact (one pairing for all inner proofs)."""
+    from .plonk import aggregate as aggr_mod
+    agg = json.loads(pathlib.Path(aggr_path).read_text())
+    n = agg.get("num_proofs", 0)
+    if isinstance(vk_paths, (str, pathlib.Path)):
+        vk_paths = [vk_paths] * n
+    vks = [serde_mod.load_vk(p) for p in vk_paths]
+    if not vks:
+        return False
+    if srs_path and pathlib.Path(srs_path).exists():
+        s = srsmod.load(srs_path)
+    else:
+        s = srsmod.get_or_create(vks[0].k)
+    try:
+        return aggr_mod.verify_aggregated(vks, agg, s.g2, s.s_g2)
+    except (KeyError, IndexError, ValueError, AssertionError):
+        return False
+
+
 def create_evm_verifier(vk_path="vk.key", srs_path=None,
                         sol_path="Verifier.sol", settings_path=None) -> str:
     """Generate a standalone Solidity verifier contract for this circuit

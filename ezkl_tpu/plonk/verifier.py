@@ -77,6 +77,27 @@ def _validate_proof(proof: Proof) -> bool:
 
 def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
            transcript: Transcript | None = None) -> bool:
+    red = verify_reduced(vk, proof, transcript)
+    if not red:
+        return False
+    lhs, rhs = red
+    return pairing.pairing_check([
+        (lhs, s_g2),
+        (hc.g1_neg(rhs) if rhs else None, g2),
+    ])
+
+
+def verify_reduced(vk: VerifyingKey, proof: Proof,
+                   transcript: Transcript | None = None):
+    """All verifier checks EXCEPT the final pairing.
+
+    Returns None if any scalar-side identity or transcript check fails;
+    otherwise (lhs, rhs) G1 points such that the proof is valid iff
+    e(lhs, [s]_2) == e(rhs, [1]_2). Splitting here is what makes N-proof
+    aggregation possible: RLC-combine the (lhs, rhs) pairs and run ONE
+    pairing for the whole batch (`plonk/aggregate.py`; the reference gets
+    the same verifier-cost collapse through its aggregation circuit,
+    `/root/reference/src/execute.rs` aggregate + snark-verifier)."""
     cs = vk.cs
     k = vk.k
     n = 1 << k
@@ -288,7 +309,4 @@ def verify(vk: VerifyingKey, g2, s_g2, proof: Proof,
         lhs = hc.g1_add(lhs, hc.g1_mul(w_comm, upow))
         rhs = hc.g1_add(rhs, hc.g1_mul(term_r, upow))
         upow = upow * u_ch % P
-    return pairing.pairing_check([
-        (lhs, s_g2),
-        (hc.g1_neg(rhs) if rhs else None, g2),
-    ])
+    return lhs, rhs

@@ -34,6 +34,34 @@ def test_pipeline_files(tmp_path, monkeypatch):
 
 
 @needs_ref
+def test_onnx_e2e_prove_verify_tamper(tmp_path, monkeypatch):
+    """Full ONNX file-API pipeline THROUGH prove (the reference's
+    accuracy_measurement_prove flow, `tests/integration_tests.rs`):
+    settings -> compile -> srs -> witness -> setup -> prove -> verify,
+    plus a tampered-proof rejection. k=10 keeps the prove affordable and
+    exercises the multi-chunk lookup table (1025-row relu table over
+    ~1017 usable rows)."""
+    monkeypatch.chdir(tmp_path)
+    shutil.copy(REF / "network.onnx", "network.onnx")
+    shutil.copy(REF / "input.json", "input.json")
+    ra = RunArgs(input_scale=4, param_scale=4, lookup_range=(-512, 512),
+                 logrows=10)
+    api.gen_settings("network.onnx", "settings.json", ra)
+    api.compile_circuit("network.onnx", "settings.json", "model.compiled")
+    api.gen_srs("kzg.srs", 10)
+    api.gen_witness("model.compiled", "input.json", "witness.json")
+    api.setup("model.compiled", "input.json", srs_path="kzg.srs")
+    api.prove("model.compiled", "input.json", pk_path="pk.key",
+              srs_path="kzg.srs", proof_path="proof.json")
+    assert api.verify("proof.json", "vk.key", srs_path="kzg.srs")
+    pj = json.loads(pathlib.Path("proof.json").read_text())
+    klabel = sorted(pj["evals"])[0]
+    pj["evals"][klabel] = hex(int(pj["evals"][klabel], 16) ^ 1)
+    pathlib.Path("proof_bad.json").write_text(json.dumps(pj))
+    assert not api.verify("proof_bad.json", "vk.key", srs_path="kzg.srs")
+
+
+@needs_ref
 def test_gen_random_data_and_table(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     shutil.copy(REF / "network.onnx", "network.onnx")
