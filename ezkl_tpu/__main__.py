@@ -97,6 +97,9 @@ def main(argv=None):
     cmd("encode-evm-calldata")
     p = cmd("create-evm-verifier")
     p.add_argument("--sol-code-path", default="Verifier.sol")
+    p.add_argument("--reusable", action="store_true",
+                   help="split constants into a VKA data contract "
+                        "(<name>VKA.sol); verifier takes the VKA address")
     cmd("deploy-evm")
     cmd("verify-evm")
     p = cmd("aggregate")
@@ -168,8 +171,9 @@ def main(argv=None):
         print(f"calldata ({len(data)} bytes) -> {ns.output or 'calldata.bin'}")
     elif c == "create-evm-verifier":
         api.create_evm_verifier(ns.vk_path, ns.srs_path, ns.sol_code_path,
-                                ns.settings_path)
-        print(f"Solidity verifier -> {ns.sol_code_path}")
+                                ns.settings_path, reusable=ns.reusable)
+        print(f"Solidity verifier -> {ns.sol_code_path}"
+              + (" (+ VKA data contract)" if ns.reusable else ""))
     elif c in ("deploy-evm", "verify-evm"):
         getattr(api, c.replace("-", "_"))()
     elif c == "aggregate":

@@ -376,20 +376,33 @@ def verify_aggr(aggr_path="proof_aggr.json", vk_paths="vk.key",
 
 
 def create_evm_verifier(vk_path="vk.key", srs_path=None,
-                        sol_path="Verifier.sol", settings_path=None) -> str:
+                        sol_path="Verifier.sol", settings_path=None,
+                        reusable: bool = False) -> str:
     """Generate a standalone Solidity verifier contract for this circuit
     (reference `create-evm-verifier`, `src/execute.rs:1306-1340`). Prove
     with transcript='evm' for proofs the contract accepts. The zero-egress
     environment has no solc/EVM; deployment/on-chain verification are left
-    to the user's toolchain (`forge create` / `cast call`)."""
+    to the user's toolchain (`forge create` / `cast call`).
+
+    reusable=True additionally writes `<sol_path stem>VKA.sol`: the
+    verifier then takes the VKA data-contract address as its first
+    argument and extcodecopies the per-circuit constants from it — the
+    reference's reusable-verifier + VKA registration pattern
+    (`src/commands.rs:148`: ~4x smaller on-chain state when several
+    same-shape circuits share one verifier)."""
     from .evm import generate_verifier
     vk = serde_mod.load_vk(vk_path)
     if srs_path and pathlib.Path(srs_path).exists():
         s = srsmod.load(srs_path)
     else:
         s = srsmod.get_or_create(vk.k)
-    sol = generate_verifier(vk, s.g2, s.s_g2)
+    sol = generate_verifier(vk, s.g2, s.s_g2, reusable=reusable)
     pathlib.Path(sol_path).write_text(sol)
+    if reusable:
+        from .evm.solidity import generate_vka
+        p = pathlib.Path(sol_path)
+        vka_path = p.with_name(p.stem + "VKA.sol")
+        vka_path.write_text(generate_vka(vk, s.g2, s.s_g2))
     return sol
 
 

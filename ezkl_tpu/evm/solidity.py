@@ -148,8 +148,68 @@ def opening_groups(vk: VerifyingKey):
 # the generator
 # ---------------------------------------------------------------------------
 
+def vka_layout(vk: VerifyingKey) -> dict:
+    """Byte offsets of the verifying-key artifact (VKA) blob.
+
+    The reusable-verifier pattern (reference `halo2_solidity_verifier`
+    render-separately + `src/commands.rs:148` "reusable verifier ~4x
+    smaller on-chain state"): the per-circuit CONSTANTS live in a tiny
+    data contract (blob-as-code), while the verifier contract — generated
+    once per circuit SHAPE — reads them via extcodecopy. Retraining a
+    model (same architecture, new weights) redeploys only the VKA.
+
+    Layout: fixed commitments (2 words each) || sigma commitments ||
+    [s]G2 (4 words, x1 x0 y1 y0) || G2 (4 words) || vk transcript repr
+    (raw bytes, to the end)."""
+    nf = len(vk.fixed_commitments)
+    ns = len(vk.sigma_commitments)
+    off = {"fixed": 0, "sigma": nf * 64}
+    off["sg2"] = off["sigma"] + ns * 64
+    off["g2"] = off["sg2"] + 128
+    off["vkr"] = off["g2"] + 128
+    off["vkr_len"] = len(vk.transcript_repr())
+    off["size"] = off["vkr"] + off["vkr_len"]
+    return off
+
+
+def generate_vka(vk: VerifyingKey, g2, s_g2) -> str:
+    """The VKA data contract: its DEPLOYED code IS the constant blob."""
+    lay = vka_layout(vk)
+    blob = bytearray()
+
+    def pt_words(pt):
+        x, y = (0, 0) if pt is None else pt
+        return int(x).to_bytes(32, "big") + int(y).to_bytes(32, "big")
+
+    for pt in vk.fixed_commitments:
+        blob += pt_words(pt)
+    for pt in vk.sigma_commitments:
+        blob += pt_words(pt)
+    for fq2 in (s_g2, g2):
+        (x0, x1), (y0, y1) = fq2[0], fq2[1]
+        for wv in (x1, x0, y1, y0):
+            blob += int(wv).to_bytes(32, "big")
+    blob += vk.transcript_repr()
+    assert len(blob) == lay["size"]
+    return "\n".join([
+        "// SPDX-License-Identifier: MIT",
+        "// Generated by ezkl_tpu.evm.solidity.generate_vka — verifying-key",
+        "// artifact: the deployed code of this contract IS the constant",
+        "// blob the reusable EzklTpuVerifier extcodecopies.",
+        "pragma solidity ^0.8.19;",
+        "",
+        "contract EzklTpuVKA {",
+        "    constructor() {",
+        f"        bytes memory d = hex\"{bytes(blob).hex()}\";",
+        "        assembly { return(add(d, 0x20), mload(d)) }",
+        "    }",
+        "}",
+    ])
+
+
 def generate_verifier(vk: VerifyingKey, g2, s_g2,
-                      label: bytes = b"ezkl-tpu-evm") -> str:
+                      label: bytes = b"ezkl-tpu-evm",
+                      reusable: bool = False) -> str:
     cs = vk.cs
     if cs.num_challenges:
         raise NotImplementedError(
@@ -188,15 +248,23 @@ def generate_verifier(vk: VerifyingKey, g2, s_g2,
         return (f"(uint256(bytes32(proof[{base}:{base + 32}])), "
                 f"uint256(bytes32(proof[{base + 32}:{base + 64}])))")
 
+    lay = vka_layout(vk)
+
     def comm_code(src):
         kind = src[0]
         if kind == "adv":
             return pt_load("adv", src[1])
         if kind == "fix":
+            if reusable:
+                o = lay["fixed"] + 64 * src[1]
+                return f"(vkw(VKD, {o}), vkw(VKD, {o + 32}))"
             pt = vk.fixed_commitments[src[1]]
             x, y = (0, 0) if pt is None else pt
             return f"({hex(x)}, {hex(y)})"
         if kind == "sigma":
+            if reusable:
+                o = lay["sigma"] + 64 * src[1]
+                return f"(vkw(VKD, {o}), vkw(VKD, {o + 32}))"
             pt = vk.sigma_commitments[src[1]]
             x, y = (0, 0) if pt is None else pt
             return f"({hex(x)}, {hex(y)})"
@@ -242,18 +310,27 @@ def generate_verifier(vk: VerifyingKey, g2, s_g2,
     w(f"    uint256 constant N = {n};")
     w(f"    uint256 constant OMEGA = {hex(omega)};")
     w(f"    bytes32 constant LABEL_HASH = keccak256(hex\"{label.hex()}\");")
-    w(f"    bytes constant VK_REPR = hex\"{vk.transcript_repr().hex()}\";")
-    g2x, g2y = g2
-    sg2x, sg2y = s_g2
-    w(f"    uint256 constant G2_X1 = {hex(g2x[1])};")
-    w(f"    uint256 constant G2_X0 = {hex(g2x[0])};")
-    w(f"    uint256 constant G2_Y1 = {hex(g2y[1])};")
-    w(f"    uint256 constant G2_Y0 = {hex(g2y[0])};")
-    w(f"    uint256 constant SG2_X1 = {hex(sg2x[1])};")
-    w(f"    uint256 constant SG2_X0 = {hex(sg2x[0])};")
-    w(f"    uint256 constant SG2_Y1 = {hex(sg2y[1])};")
-    w(f"    uint256 constant SG2_Y0 = {hex(sg2y[0])};")
+    if reusable:
+        w(f"    uint256 constant VKA_SIZE = {lay['size']};")
+        w(f"    uint256 constant VKR_OFF = {lay['vkr']};")
+        w(f"    uint256 constant VKR_LEN = {lay['vkr_len']};")
+    else:
+        w(f"    bytes constant VK_REPR = hex\"{vk.transcript_repr().hex()}\";")
+        g2x, g2y = g2
+        sg2x, sg2y = s_g2
+        w(f"    uint256 constant G2_X1 = {hex(g2x[1])};")
+        w(f"    uint256 constant G2_X0 = {hex(g2x[0])};")
+        w(f"    uint256 constant G2_Y1 = {hex(g2y[1])};")
+        w(f"    uint256 constant G2_Y0 = {hex(g2y[0])};")
+        w(f"    uint256 constant SG2_X1 = {hex(sg2x[1])};")
+        w(f"    uint256 constant SG2_X0 = {hex(sg2x[0])};")
+        w(f"    uint256 constant SG2_Y1 = {hex(sg2y[1])};")
+        w(f"    uint256 constant SG2_Y0 = {hex(sg2y[0])};")
     w("")
+    if reusable:
+        w("""    function vkw(bytes memory vkd, uint256 o) internal pure returns (uint256 v) {
+        assembly { v := mload(add(add(vkd, 0x20), o)) }
+    }""")
     w("""    function absorb(bytes32 st, bytes32 word) internal pure returns (bytes32) {
         return keccak256(abi.encodePacked(st, hex"01", word));
     }
@@ -309,8 +386,18 @@ def generate_verifier(vk: VerifyingKey, g2, s_g2,
     w("")
 
     # ---- verifyProof
-    w("    function verifyProof(bytes calldata proof, "
-      "uint256[] calldata instances) external view returns (bool) {")
+    if reusable:
+        w("    function verifyProof(address vka, bytes calldata proof, "
+          "uint256[] calldata instances) external view returns (bool) {")
+        w("        bytes memory VKD = new bytes(VKA_SIZE);")
+        w("        { uint256 cs_;")
+        w("          assembly { cs_ := extcodesize(vka) }")
+        w("          require(cs_ == VKA_SIZE, \"vka size\"); }")
+        w("        assembly { extcodecopy(vka, add(VKD, 0x20), 0, "
+          "VKA_SIZE) }")
+    else:
+        w("    function verifyProof(bytes calldata proof, "
+          "uint256[] calldata instances) external view returns (bool) {")
     w(f"        require(proof.length == {proof_len}, \"proof length\");")
     w(f"        uint256[{max(len(labels), 1)}] memory E;")
     w("        for (uint256 i = 0; i < E.length; i++) {")
@@ -335,7 +422,15 @@ def generate_verifier(vk: VerifyingKey, g2, s_g2,
     w("        }")
     # ---- transcript replay
     w("        bytes32 st = LABEL_HASH;")
-    w("        st = keccak256(abi.encodePacked(st, hex\"01\", VK_REPR));")
+    if reusable:
+        w("        {")
+        w("            bytes memory vkr = new bytes(VKR_LEN);")
+        w("            for (uint256 i = 0; i < VKR_LEN; i++) "
+          "vkr[i] = VKD[VKR_OFF + i];")
+        w("            st = keccak256(abi.encodePacked(st, hex\"01\", vkr));")
+        w("        }")
+    else:
+        w("        st = keccak256(abi.encodePacked(st, hex\"01\", VK_REPR));")
     w("        for (uint256 i = 0; i < instances.length; i++) {")
     w("            require(instances[i] < R, \"instance range\");")
     w("            st = absorb(st, bytes32(instances[i]));")
@@ -528,13 +623,20 @@ def generate_verifier(vk: VerifyingKey, g2, s_g2,
     for i in range(nh - 1, -1, -1):
         hx = f"addmod(mulmod({hx}, xn, R), E[{lab_idx[f'h{i}@0']}], R)"
     w(f"        if (total != mulmod(zh, {hx}, R)) return false;")
-    w("        return multiopen(proof, ch);")
+    if reusable:
+        w("        return multiopen(proof, ch, VKD);")
+    else:
+        w("        return multiopen(proof, ch);")
     w("    }")
     w("")
 
     # ---- multiopen
-    w("    function multiopen(bytes calldata proof, uint256[7] memory ch) "
-      "internal view returns (bool) {")
+    if reusable:
+        w("    function multiopen(bytes calldata proof, uint256[7] memory "
+          "ch, bytes memory VKD) internal view returns (bool) {")
+    else:
+        w("    function multiopen(bytes calldata proof, uint256[7] memory "
+          "ch) internal view returns (bool) {")
     w("        uint256 x_ch = ch[4]; uint256 v_ch = ch[5]; "
       "uint256 u_ch = ch[6];")
     w(f"        uint256[{n_open}] memory pts;")
@@ -594,8 +696,16 @@ def generate_verifier(vk: VerifyingKey, g2, s_g2,
     w("        }")
     w("        // e(lhs, s_g2) . e(-rhs, g2) == 1")
     w("        if (!(rx == 0 && ry == 0)) ry = Q - ry;")
-    w("        uint256[12] memory inp = [lx, ly, SG2_X1, SG2_X0, SG2_Y1, "
-      "SG2_Y0, rx, ry, G2_X1, G2_X0, G2_Y1, G2_Y0];")
+    if reusable:
+        o = lay["sg2"]
+        og = lay["g2"]
+        w(f"        uint256[12] memory inp = [lx, ly, vkw(VKD, {o}), "
+          f"vkw(VKD, {o + 32}), vkw(VKD, {o + 64}), vkw(VKD, {o + 96}), "
+          f"rx, ry, vkw(VKD, {og}), vkw(VKD, {og + 32}), "
+          f"vkw(VKD, {og + 64}), vkw(VKD, {og + 96})];")
+    else:
+        w("        uint256[12] memory inp = [lx, ly, SG2_X1, SG2_X0, "
+          "SG2_Y1, SG2_Y0, rx, ry, G2_X1, G2_X0, G2_Y1, G2_Y0];")
     w("        uint256[1] memory out;")
     w("        assembly {")
     w("            if iszero(staticcall(gas(), 0x08, inp, 0x180, out, 0x20))"

@@ -32,7 +32,9 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import json
 import os as _os
+import pathlib
 import time as _time
 from collections import defaultdict
 
@@ -523,6 +525,81 @@ def _kernels(pk: ProvingKey) -> ProverKernels:
 # the prover
 # ---------------------------------------------------------------------------
 
+class _ProveCheckpoint:
+    """Restartable prover phases for long (k>=20) runs.
+
+    The reference has no analog (a killed halo2 prove restarts from
+    scratch); for multi-minute TPU proofs we persist the two expensive
+    cut points — after all column commitments (phase 4b) and after the
+    quotient commitment (phase 5b) — so a crashed/preempted run resumes
+    with at most one phase of rework. Enabled via
+    `create_proof(..., checkpoint_dir=...)` or EZKL_TPU_CKPT_DIR.
+
+    A checkpoint stores the blinded device columns (host npz), the
+    transcript state bytes and the squeezed host scalars, keyed by
+    (vk repr, witness digest, seed) — so a resume continues BYTE-IDENTICAL
+    to the uninterrupted proof, and a different witness/seed can never
+    pick up stale state. Cleared on success."""
+
+    def __init__(self, root, pk, asg, seed):
+        import hashlib
+        h = hashlib.blake2b(digest_size=16)
+        h.update(pk.vk.transcript_repr())
+        h.update(asg.advice.tobytes())
+        h.update(repr(asg.instance).encode())
+        h.update(str(seed).encode())
+        self.dir = pathlib.Path(root) / f"prove-{h.hexdigest()}"
+        self.dir.mkdir(parents=True, exist_ok=True)
+
+    def save(self, name: str, tr, meta: dict, arrays: dict):
+        """arrays: name -> ndarray | list[ndarray] (device ok)."""
+        flat = {}
+        for kk, v in arrays.items():
+            if isinstance(v, (list, tuple)):
+                flat[f"{kk}__len"] = np.asarray(len(v))
+                for i, a in enumerate(v):
+                    flat[f"{kk}__{i}"] = np.asarray(a)
+            else:
+                flat[kk] = np.asarray(v)
+        # np.savez appends ".npz" to names without it — keep the temp name
+        # suffixed so the write goes where the rename expects
+        tmp = self.dir / f".{name}.tmp.npz"
+        np.savez(tmp, **flat)
+        tmp.rename(self.dir / f"{name}.npz")
+        meta = dict(meta, transcript_state=tr._state.hex())
+        (self.dir / f"{name}.json").write_text(json.dumps(meta))
+
+    def load(self, name: str):
+        jf, nf = self.dir / f"{name}.json", self.dir / f"{name}.npz"
+        if not (jf.exists() and nf.exists()):
+            return None
+        meta = json.loads(jf.read_text())
+        data = np.load(nf)
+        arrays = {}
+        for kk in data.files:
+            if kk.endswith("__len"):
+                base = kk[:-5]
+                arrays[base] = [jnp.asarray(data[f"{base}__{i}"])
+                                for i in range(int(data[kk]))]
+            elif "__" not in kk:
+                arrays[kk] = jnp.asarray(data[kk])
+        return meta, arrays
+
+    def clear(self):
+        import shutil
+        shutil.rmtree(self.dir, ignore_errors=True)
+
+
+def _pts_meta(pts):
+    """Host affine points -> JSON-able [[hex,hex]|None]."""
+    return [None if p is None else [hex(p[0]), hex(p[1])] for p in pts]
+
+
+def _pts_unmeta(pts):
+    return [None if p is None else (int(p[0], 16), int(p[1], 16))
+            for p in pts]
+
+
 def _rng_for_proof(seed: int | None) -> np.random.Generator:
     if seed is None:
         env = _os.environ.get("EZKL_TPU_DET_SEED")
@@ -553,12 +630,14 @@ _PROVE_PHASES = 9
 
 def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
                  transcript: Transcript | None = None,
-                 seed: int | None = None) -> Proof:
+                 seed: int | None = None,
+                 checkpoint_dir: str | None = None) -> Proof:
     global _PROG
     from ..utils.progress import progress as _progress
     _PROG = _progress(f"prove k={pk.vk.k}", total=_PROVE_PHASES)
     try:
-        return _create_proof_impl(pk, srs, asg, transcript, seed)
+        return _create_proof_impl(pk, srs, asg, transcript, seed,
+                                  checkpoint_dir)
     finally:
         # on an exception mid-proof, close the dangling progress line so a
         # subsequent create_proof starts with a fresh bar
@@ -569,7 +648,8 @@ def create_proof(pk: ProvingKey, srs: SRS, asg: Assignment,
 
 def _create_proof_impl(pk: ProvingKey, srs: SRS, asg: Assignment,
                        transcript: Transcript | None = None,
-                       seed: int | None = None) -> Proof:
+                       seed: int | None = None,
+                       checkpoint_dir: str | None = None) -> Proof:
     cs = pk.vk.cs
     dom = pk.vk.domain
     k, n, p = pk.vk.k, dom.n, FR.modulus
@@ -579,6 +659,14 @@ def _create_proof_impl(pk: ProvingKey, srs: SRS, asg: Assignment,
     m_perm = len(cs.perm_columns)
     a = kern.a
     rng = _rng_for_proof(seed)
+
+    ckpt_root = checkpoint_dir or _os.environ.get("EZKL_TPU_CKPT_DIR")
+    if ckpt_root and seed is None and \
+            _os.environ.get("EZKL_TPU_DET_SEED") is None:
+        raise ValueError(
+            "checkpointed proving needs a deterministic seed (seed= or "
+            "EZKL_TPU_DET_SEED): a resume must replay the same blinding")
+    ckpt = _ProveCheckpoint(ckpt_root, pk, asg, seed) if ckpt_root else None
 
     def blind_tail(cols, unblinded_mask=None):
         """Randomize rows (a, n) of a (..., 16, n) Montgomery column stack.
@@ -596,118 +684,164 @@ def _create_proof_impl(pk: ProvingKey, srs: SRS, asg: Assignment,
             return cols.at[:, :, a + 1:].set(r)
         return cols.at[:, a + 1:].set(r)
 
-    _maybe_release_executables(n)
-    _span("phase1: bind vk+instances")
-    tr.common_bytes(pk.vk.transcript_repr())
-    for col in asg.instance:
-        for v in col:
-            tr.common_scalar(v)
-
-    _span("phase2: advice commitments")
-    phases = asg.cs.advice_phase
-    p0_cols = [i for i in range(cs.num_advice) if phases[i] == 0]
-    p1_cols = [i for i in range(cs.num_advice) if phases[i] != 0]
-
-    unbl = np.asarray([bool(b) for b in cs.advice_unblinded], bool) \
-        if cs.advice_unblinded else np.zeros(cs.num_advice, bool)
-    advice_l = blind_tail(asg.device_columns(ADVICE), unbl)  # (na, 16, n)
-    advice_comms: dict[int, object] = {}
-    if p0_cols:
-        for i, c in zip(
-                p0_cols,
-                kzg.commit_many(srs, advice_l[jnp.asarray(p0_cols)])):
-            advice_comms[i] = c
-            tr.common_point(c)
-    challenges = [tr.challenge() for _ in range(cs.num_challenges)]
-    ch_dev = [limbs.const(FR, v) for v in challenges]
-    if p1_cols:
-        asg.apply_phase1({i: v for i, v in enumerate(challenges)})
-        refreshed = blind_tail(asg.device_columns(ADVICE), unbl)
-        # keep the already-committed phase-0 blinding rows byte-identical
-        keep = jnp.asarray([phases[i] == 0 for i in range(cs.num_advice)])
-        advice_l = jnp.where(keep[:, None, None], advice_l, refreshed)
-        for i, c in zip(p1_cols,
-                        kzg.commit_many(srs, advice_l[jnp.asarray(p1_cols)])):
-            advice_comms[i] = c
-            tr.common_point(c)
-    advice_comms = [advice_comms[i] for i in range(cs.num_advice)]
-
     fixed_l = pk.fixed_lagrange
     instance_l = asg.instance_device()
+    cols_st = ckpt.load("cols") if ckpt else None
+    if cols_st is None:
+        _maybe_release_executables(n)
+        _span("phase1: bind vk+instances")
+        tr.common_bytes(pk.vk.transcript_repr())
+        for col in asg.instance:
+            for v in col:
+                tr.common_scalar(v)
 
-    _span("phase3: lookups m")
-    theta = tr.challenge()
-    theta_dev = limbs.const(FR, theta)
-    fs_all, t_all, sh_in_all, sh_t_all = kern.stage_compress(
-        advice_l, fixed_l, instance_l, theta_dev, *ch_dev)
-    m_all, m_comms = [], []
-    _from_mont = jax.jit(functools.partial(limbs.from_mont, FR))
-    for lk, fs, t in zip(cs.lookups, fs_all, t_all):
-        # vectorized multiplicity counting: pack field elements into
-        # structured u64 rows, sorted-match inputs against the table, count
-        # per first-occurrence table row (no per-element Python loops)
-        t_pack = limbs.pack_rows(np.asarray(_from_mont(t)))[:a]
-        order = np.argsort(t_pack, kind="stable")
-        t_sorted = t_pack[order]
-        f_all = np.concatenate([
-            limbs.pack_rows(np.asarray(_from_mont(f)))[:a] for f in fs])
-        pos = np.searchsorted(t_sorted, f_all)
-        pos_c = np.minimum(pos, t_sorted.size - 1)
-        ok = t_sorted[pos_c] == f_all
-        if not ok.all():
-            raise ValueError(
-                f"lookup '{lk.name}': {int((~ok).sum())} input values not in table")
-        # within runs of equal table values, map to the run's first original
-        # row (stable argsort keeps original row order inside each run)
-        run_start = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
-        run_first = np.maximum.accumulate(
-            np.where(run_start, np.arange(t_sorted.size), 0))
-        rows_for_f = order[run_first[pos_c]]
-        m_host = np.bincount(rows_for_f, minlength=n).astype(np.int64)
-        m_dev = blind_tail(_to_mont_jit(jnp.asarray(limbs.encode_i64(FR, m_host))))
-        m_all.append(m_dev)
-    m_comms = kzg.commit_many(srs, m_all)
-    for cpt in m_comms:
-        tr.common_point(cpt)
+        _span("phase2: advice commitments")
+        phases = asg.cs.advice_phase
+        p0_cols = [i for i in range(cs.num_advice) if phases[i] == 0]
+        p1_cols = [i for i in range(cs.num_advice) if phases[i] != 0]
 
-    _span("phase4: perm z + phi")
-    beta = tr.challenge()
-    gamma = tr.challenge()
-    beta_dev = limbs.const(FR, beta)
-    gamma_dev = limbs.const(FR, gamma)
-    z_list, phi_list, shz_list = kern.stage_zphi(
-        advice_l, fixed_l, instance_l, beta_dev, gamma_dev, fs_all, t_all,
-        m_all, sh_in_all, sh_t_all)
-    z_list = [blind_tail(z) for z in z_list]
-    phi_list = [blind_tail(phi) for phi in phi_list]
-    shz_list = [blind_tail(z) for z in shz_list]
-    # one batched MSM for z + phi + shuffle-z + the vanishing random poly
-    # (transcript order: z's, phi's, shz's, random)
-    _span("phase4b: random poly")
-    r_evals = _random_mont(rng, (n,))
-    batch_comms = kzg.commit_many(
-        srs, z_list + phi_list + shz_list + [r_evals])
-    for cpt in batch_comms:
-        tr.common_point(cpt)
-    nz, nphi, nshz = len(z_list), len(phi_list), len(shz_list)
-    z_comms = batch_comms[:nz]
-    phi_comms = batch_comms[nz:nz + nphi]
-    shz_comms = batch_comms[nz + nphi:nz + nphi + nshz]
-    r_comm = batch_comms[-1]
+        unbl = np.asarray([bool(b) for b in cs.advice_unblinded], bool) \
+            if cs.advice_unblinded else np.zeros(cs.num_advice, bool)
+        advice_l = blind_tail(asg.device_columns(ADVICE), unbl)  # (na,16,n)
+        advice_comms: dict[int, object] = {}
+        if p0_cols:
+            for i, c in zip(
+                    p0_cols,
+                    kzg.commit_many(srs, advice_l[jnp.asarray(p0_cols)])):
+                advice_comms[i] = c
+                tr.common_point(c)
+        challenges = [tr.challenge() for _ in range(cs.num_challenges)]
+        ch_dev = [limbs.const(FR, v) for v in challenges]
+        if p1_cols:
+            asg.apply_phase1({i: v for i, v in enumerate(challenges)})
+            refreshed = blind_tail(asg.device_columns(ADVICE), unbl)
+            # keep the already-committed phase-0 blinding rows byte-identical
+            keep = jnp.asarray([phases[i] == 0 for i in range(cs.num_advice)])
+            advice_l = jnp.where(keep[:, None, None], advice_l, refreshed)
+            for i, c in zip(p1_cols,
+                            kzg.commit_many(srs, advice_l[jnp.asarray(p1_cols)])):
+                advice_comms[i] = c
+                tr.common_point(c)
+        advice_comms = [advice_comms[i] for i in range(cs.num_advice)]
 
-    _span("phase5: quotient")
-    y = tr.challenge()
-    y_dev = limbs.const(FR, y)
-    _maybe_release_executables(n)
-    h_pieces = kern.stage_quotient(advice_l, fixed_l, instance_l, theta_dev,
-                                   beta_dev, gamma_dev, y_dev, z_list,
-                                   phi_list, m_all, shz_list, *ch_dev)
-    h_pieces = [jnp.asarray(p) for p in h_pieces]
-    _maybe_release_executables(n)
-    _span("phase5b: commit h")
-    h_comms = kzg.commit_many(srs, h_pieces, lagrange=False)
-    for cpt in h_comms:
-        tr.common_point(cpt)
+        _span("phase3: lookups m")
+        theta = tr.challenge()
+        theta_dev = limbs.const(FR, theta)
+        fs_all, t_all, sh_in_all, sh_t_all = kern.stage_compress(
+            advice_l, fixed_l, instance_l, theta_dev, *ch_dev)
+        m_all, m_comms = [], []
+        _from_mont = jax.jit(functools.partial(limbs.from_mont, FR))
+        for lk, fs, t in zip(cs.lookups, fs_all, t_all):
+            # vectorized multiplicity counting: pack field elements into
+            # structured u64 rows, sorted-match inputs against the table,
+            # count per first-occurrence table row (no Python loops)
+            t_pack = limbs.pack_rows(np.asarray(_from_mont(t)))[:a]
+            order = np.argsort(t_pack, kind="stable")
+            t_sorted = t_pack[order]
+            f_all = np.concatenate([
+                limbs.pack_rows(np.asarray(_from_mont(f)))[:a] for f in fs])
+            pos = np.searchsorted(t_sorted, f_all)
+            pos_c = np.minimum(pos, t_sorted.size - 1)
+            ok = t_sorted[pos_c] == f_all
+            if not ok.all():
+                raise ValueError(
+                    f"lookup '{lk.name}': {int((~ok).sum())} input values not in table")
+            # within runs of equal table values, map to the run's first
+            # original row (stable argsort keeps row order inside runs)
+            run_start = np.r_[True, t_sorted[1:] != t_sorted[:-1]]
+            run_first = np.maximum.accumulate(
+                np.where(run_start, np.arange(t_sorted.size), 0))
+            rows_for_f = order[run_first[pos_c]]
+            m_host = np.bincount(rows_for_f, minlength=n).astype(np.int64)
+            m_dev = blind_tail(_to_mont_jit(jnp.asarray(limbs.encode_i64(FR, m_host))))
+            m_all.append(m_dev)
+        m_comms = kzg.commit_many(srs, m_all)
+        for cpt in m_comms:
+            tr.common_point(cpt)
+
+        _span("phase4: perm z + phi")
+        beta = tr.challenge()
+        gamma = tr.challenge()
+        beta_dev = limbs.const(FR, beta)
+        gamma_dev = limbs.const(FR, gamma)
+        z_list, phi_list, shz_list = kern.stage_zphi(
+            advice_l, fixed_l, instance_l, beta_dev, gamma_dev, fs_all, t_all,
+            m_all, sh_in_all, sh_t_all)
+        z_list = [blind_tail(z) for z in z_list]
+        phi_list = [blind_tail(phi) for phi in phi_list]
+        shz_list = [blind_tail(z) for z in shz_list]
+        # one batched MSM for z + phi + shuffle-z + the vanishing random
+        # poly (transcript order: z's, phi's, shz's, random)
+        _span("phase4b: random poly")
+        r_evals = _random_mont(rng, (n,))
+        batch_comms = kzg.commit_many(
+            srs, z_list + phi_list + shz_list + [r_evals])
+        for cpt in batch_comms:
+            tr.common_point(cpt)
+        nz, nphi, nshz = len(z_list), len(phi_list), len(shz_list)
+        z_comms = batch_comms[:nz]
+        phi_comms = batch_comms[nz:nz + nphi]
+        shz_comms = batch_comms[nz + nphi:nz + nphi + nshz]
+        r_comm = batch_comms[-1]
+        if ckpt:
+            ckpt.save(
+                "cols", tr,
+                meta=dict(theta=theta, beta=beta, gamma=gamma,
+                          challenges=challenges,
+                          advice_comms=_pts_meta(advice_comms),
+                          m_comms=_pts_meta(m_comms),
+                          z_comms=_pts_meta(z_comms),
+                          phi_comms=_pts_meta(phi_comms),
+                          shz_comms=_pts_meta(shz_comms),
+                          r_comm=_pts_meta([r_comm])[0]),
+                arrays=dict(advice_l=advice_l, m_all=m_all, z_list=z_list,
+                            phi_list=phi_list, shz_list=shz_list,
+                            r_evals=r_evals))
+    else:
+        _span("phase1-4b: resumed from checkpoint")
+        meta, arrs = cols_st
+        tr._state = bytes.fromhex(meta["transcript_state"])
+        theta, beta, gamma = meta["theta"], meta["beta"], meta["gamma"]
+        challenges = meta["challenges"]
+        theta_dev = limbs.const(FR, theta)
+        beta_dev = limbs.const(FR, beta)
+        gamma_dev = limbs.const(FR, gamma)
+        ch_dev = [limbs.const(FR, v) for v in challenges]
+        advice_comms = _pts_unmeta(meta["advice_comms"])
+        m_comms = _pts_unmeta(meta["m_comms"])
+        z_comms = _pts_unmeta(meta["z_comms"])
+        phi_comms = _pts_unmeta(meta["phi_comms"])
+        shz_comms = _pts_unmeta(meta["shz_comms"])
+        r_comm = _pts_unmeta([meta["r_comm"]])[0]
+        advice_l = arrs["advice_l"]
+        m_all = arrs["m_all"]
+        z_list, phi_list = arrs["z_list"], arrs["phi_list"]
+        shz_list, r_evals = arrs["shz_list"], arrs["r_evals"]
+
+    h_st = ckpt.load("h") if ckpt else None
+    if h_st is None:
+        _span("phase5: quotient")
+        y = tr.challenge()
+        y_dev = limbs.const(FR, y)
+        _maybe_release_executables(n)
+        h_pieces = kern.stage_quotient(advice_l, fixed_l, instance_l, theta_dev,
+                                       beta_dev, gamma_dev, y_dev, z_list,
+                                       phi_list, m_all, shz_list, *ch_dev)
+        h_pieces = [jnp.asarray(p) for p in h_pieces]
+        _maybe_release_executables(n)
+        _span("phase5b: commit h")
+        h_comms = kzg.commit_many(srs, h_pieces, lagrange=False)
+        for cpt in h_comms:
+            tr.common_point(cpt)
+        if ckpt:
+            ckpt.save("h", tr, meta=dict(h_comms=_pts_meta(h_comms)),
+                      arrays=dict(h_pieces=h_pieces))
+    else:
+        _span("phase5: resumed from checkpoint")
+        meta_h, arrs_h = h_st
+        tr._state = bytes.fromhex(meta_h["transcript_state"])
+        h_comms = _pts_unmeta(meta_h["h_comms"])
+        h_pieces = arrs_h["h_pieces"]
 
     _span("phase6: evaluations")
     x = tr.challenge()
@@ -811,6 +945,8 @@ def _create_proof_impl(pk: ProvingKey, srs: SRS, asg: Assignment,
         tr.common_point(cpt)
 
     _span("done")
+    if ckpt:
+        ckpt.clear()
     return Proof(
         advice_commitments=advice_comms,
         lookup_m_commitments=m_comms,

@@ -55,6 +55,57 @@ def test_generated_solidity_structure(proven):
     assert f"proof.length == {expect}" in sol
 
 
+def test_reusable_verifier_and_vka(proven):
+    """Reusable split: per-circuit constants leave the verifier for the
+    VKA blob; the verifier reads them by offset via extcodecopy."""
+    cs, pk, srs, proof = proven
+    vk = pk.vk
+    sol = solidity.generate_verifier(vk, srs.g2, srs.s_g2, reusable=True)
+    vka = solidity.generate_vka(vk, srs.g2, srs.s_g2)
+    lay = solidity.vka_layout(vk)
+    assert sol.count("{") == sol.count("}")
+    assert "function verifyProof(address vka, bytes calldata proof" in sol
+    assert "extcodecopy(vka" in sol
+    assert f"VKA_SIZE = {lay['size']}" in sol
+    # no inline vk constants left in the reusable verifier
+    assert "VK_REPR" not in sol.replace("VKR_OFF", "").replace("VKR_LEN", "")
+    for pt in vk.fixed_commitments + vk.sigma_commitments:
+        if pt is not None and pt[0]:
+            assert hex(pt[0]) not in sol, "fixed commitment leaked inline"
+    # the VKA blob holds exactly the constants at the layout offsets
+    blob = bytes.fromhex(vka.split('hex"')[1].split('"')[0])
+    assert len(blob) == lay["size"]
+    for i, pt in enumerate(vk.fixed_commitments):
+        x, y = (0, 0) if pt is None else pt
+        o = lay["fixed"] + 64 * i
+        assert int.from_bytes(blob[o:o + 32], "big") == x
+        assert int.from_bytes(blob[o + 32:o + 64], "big") == y
+    for i, pt in enumerate(vk.sigma_commitments):
+        x, y = (0, 0) if pt is None else pt
+        o = lay["sigma"] + 64 * i
+        assert int.from_bytes(blob[o:o + 32], "big") == x
+        assert int.from_bytes(blob[o + 32:o + 64], "big") == y
+    assert blob[lay["vkr"]:] == vk.transcript_repr()
+    (x0, x1), (y0, y1) = srs.s_g2[0], srs.s_g2[1]
+    o = lay["sg2"]
+    assert int.from_bytes(blob[o:o + 32], "big") == x1
+    assert int.from_bytes(blob[o + 96:o + 128], "big") == y0
+
+
+def test_api_reusable_writes_vka(tmp_path, monkeypatch, proven):
+    cs, pk, srs, proof = proven
+    from ezkl_tpu import api
+    from ezkl_tpu.plonk import serde as serde_mod
+    monkeypatch.chdir(tmp_path)
+    serde_mod.save_vk(pk.vk, "vk.key")
+    srsmod.save(srs, "kzg.srs")
+    api.create_evm_verifier("vk.key", "kzg.srs", "Verifier.sol",
+                            reusable=True)
+    assert (tmp_path / "Verifier.sol").exists()
+    assert (tmp_path / "VerifierVKA.sol").exists()
+    assert "EzklTpuVKA" in (tmp_path / "VerifierVKA.sol").read_text()
+
+
 def test_opening_groups_match_verifier(proven):
     """The generator's multiopen group tables must mirror the live verifier:
     same rotation set and same number of opening commitments."""

@@ -94,8 +94,19 @@ def calibrated_retry(name: str, check_mock: bool):
     return best
 
 
+def all_models():
+    """Every reference example dir with real model+input files."""
+    out = []
+    for d in sorted(REF.iterdir()):
+        if (d / "network.onnx").exists() and (d / "input.json").exists():
+            out.append(d.name)
+    return out
+
+
 def main():
     models = [a for a in sys.argv[1:] if not a.startswith("-")] or DEFAULT_MODELS
+    if "--all" in sys.argv:
+        models = all_models()
     check_mock = "--no-mock" not in sys.argv
     gate = "--no-gate" not in sys.argv
     results = {}
