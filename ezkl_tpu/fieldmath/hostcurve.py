@@ -53,6 +53,9 @@ def g1_double(p):
 
 def g1_mul(p, k: int):
     k %= R
+    from . import native
+    if native.available():
+        return native.g1_mul(p, k)
     acc = None
     while k:
         if k & 1:
@@ -70,7 +73,10 @@ def g1_is_on_curve(p) -> bool:
 
 
 def g1_msm(points, scalars):
-    """Naive host MSM; test oracle only."""
+    """Host MSM (native when built; Python-bigint oracle otherwise)."""
+    from . import native
+    if native.available():
+        return native.g1_msm(list(points), [s % R for s in scalars])
     acc = None
     for pt, s in zip(points, scalars):
         if pt is None or s % R == 0:

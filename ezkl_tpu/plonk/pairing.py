@@ -299,7 +299,10 @@ def pairing(p1, q2):
 
 
 def pairing_check(pairs) -> bool:
-    """prod e(P_i, Q_i) == 1."""
+    """prod e(P_i, Q_i) == 1 (native C++ path when built; ~8x)."""
+    from ..fieldmath import native
+    if native.available():
+        return native.pairing_check(pairs)
     f = F12_ONE
     for p1, q2 in pairs:
         if p1 is None or q2 is None:
