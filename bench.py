@@ -110,7 +110,10 @@ def main():
     c = int(os.environ.get("BENCH_C", "0")) or None
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     n_env = int(os.environ.get("BENCH_N", "0"))
-    ladder = [n_env] if n_env else [1 << 14, 1 << 16, 1 << 18, 1 << 20]
+    # Two-rung ladder: one cheap safety rung, then the 2^20 headline size.
+    # (r3 lesson: a 4-rung ladder spent the whole budget on cold compiles of
+    # the small sizes and never reached 2^20, recording 446k instead of 890k.)
+    ladder = [n_env] if n_env else [1 << 16, 1 << 20]
 
     n_base = 1 << 13
     xs, ys, zs = host_points(min(n_base, min(ladder)))

@@ -546,21 +546,37 @@ def _msm_multi_fused(points: PointP, scalars: jnp.ndarray,
 
     def group_body(_, d_ng):
         d, ng = d_ng                                     # (G, N) each
-        order = jnp.argsort(d, axis=-1)
-        sorted_d = jnp.take_along_axis(d, order, axis=-1)
-        sx = _unpack2(jnp.take(px, order, axis=-1))      # (16, G, N)
-        sy = _unpack2(jnp.take(py, order, axis=-1))
-        if signed:
-            sn = jnp.take_along_axis(ng, order, axis=-1)  # (G, N)
-            sy = limbs.select(sn, limbs.neg(fq, sy), sy)
         if affine:
-            sp = (sx.reshape(NLIMBS, -1, S), sy.reshape(NLIMBS, -1, S))
+            # one sort yields key AND permutation (saves the sorted_d
+            # re-gather); coords stay PACKED through the gather and are
+            # unpacked + sign-negated inside the scan kernel
+            iota = jnp.broadcast_to(
+                jnp.arange(n, dtype=_U32), d.shape)
+            sorted_d, order = jax.lax.sort_key_val(d, iota)
+            spx = jnp.take(px, order, axis=-1)           # (8, G, N)
+            spy = jnp.take(py, order, axis=-1)
+            if signed:
+                sn = jnp.take_along_axis(
+                    ng.astype(_U32), order, axis=-1)     # (G, N)
+            else:
+                sn = jnp.zeros(d.shape, dtype=_U32)
+            local = pcurve.prefix_scan_packed(
+                spx.reshape(NLIMBS // 2, -1, S),
+                spy.reshape(NLIMBS // 2, -1, S),
+                sn.reshape(-1, S))                       # (16, G*N/S, S)
         else:
+            order = jnp.argsort(d, axis=-1)
+            sorted_d = jnp.take_along_axis(d, order, axis=-1)
+            sx = _unpack2(jnp.take(px, order, axis=-1))  # (16, G, N)
+            sy = _unpack2(jnp.take(py, order, axis=-1))
+            if signed:
+                sn = jnp.take_along_axis(ng, order, axis=-1)  # (G, N)
+                sy = limbs.select(sn, limbs.neg(fq, sy), sy)
             sz = _unpack2(jnp.take(pz, order, axis=-1))
             sp = PointP(sx.reshape(NLIMBS, -1, S),
                         sy.reshape(NLIMBS, -1, S),
                         sz.reshape(NLIMBS, -1, S))
-        local = pcurve.prefix_scan_steps(sp)             # (16, G*N/S, S)
+            local = pcurve.prefix_scan_steps(sp)         # (16, G*N/S, S)
         totals = jax.tree.map(
             lambda a: a[..., -1].reshape(NLIMBS, G, n // S), local)
         tot_incl = _prefix_points_fused(totals)          # (16, G, n/S)

@@ -38,16 +38,27 @@ def _unstack_ref(ref):
     return [ref[i] for i in range(NLIMBS)]
 
 
+# Formulas run in the LAZY (<2p) residue domain (limbs._add_2p_l): the
+# per-multiply canonical subtraction is dropped (~6-8% of the add op
+# count) and kernels canonicalize with `_canon` only at the stores that
+# escape to HBM, so every kernel OUTPUT stays bit-identical to the strict
+# pipeline (same residue, canonicalized < p).
+
 def _mul(a, b):
-    return limbs._mont_mul_l(FQ, a, b)
+    return limbs._mont_mul_l(FQ, a, b, reduce=False)
 
 
 def _add(a, b):
-    return limbs._add_l(FQ, a, b)
+    return limbs._add_2p_l(FQ, a, b)
 
 
 def _sub(a, b):
-    return limbs._sub_l(FQ, a, b)
+    return limbs._sub_2p_l(FQ, a, b)
+
+
+def _canon(v):
+    """Lazy (<2p) -> canonical (<p) limbs at a kernel's output store."""
+    return limbs._cond_sub_mod_l(FQ, v)
 
 
 def _xb3(a):
@@ -155,6 +166,7 @@ def _add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
     X3, Y3, Z3 = _complete_add_l(
         _unstack_ref(x1), _unstack_ref(y1), _unstack_ref(z1),
         _unstack_ref(x2), _unstack_ref(y2), _unstack_ref(z2))
+    X3, Y3, Z3 = _canon(X3), _canon(Y3), _canon(Z3)
     for i in range(NLIMBS):
         ox[i] = X3[i]
         oy[i] = Y3[i]
@@ -163,6 +175,7 @@ def _add_kernel(x1, y1, z1, x2, y2, z2, ox, oy, oz):
 
 def _dbl_kernel(x, y, z, ox, oy, oz):
     X3, Y3, Z3 = _dbl_l(_unstack_ref(x), _unstack_ref(y), _unstack_ref(z))
+    X3, Y3, Z3 = _canon(X3), _canon(Y3), _canon(Z3)
     for i in range(NLIMBS):
         ox[i] = X3[i]
         oy[i] = Y3[i]
@@ -285,10 +298,15 @@ def _scan_call(m_blocks: int, steps: int, blk: int, mixed: bool):
                 ay[i] = Y3[i]
                 az[i] = Z3[i]
 
+        # acc stays lazy in scratch; each step's escaping prefix value is
+        # canonicalized at the store (3 cond-subs vs the 11-12 saved)
+        cx = _canon([ax[i] for i in range(NLIMBS)])
+        cy = _canon([ay[i] for i in range(NLIMBS)])
+        cz = _canon([az[i] for i in range(NLIMBS)])
         for i in range(NLIMBS):
-            outs[0][0, i] = ax[i]
-            outs[1][0, i] = ay[i]
-            outs[2][0, i] = az[i]
+            outs[0][0, i] = cx[i]
+            outs[1][0, i] = cy[i]
+            outs[2][0, i] = cz[i]
 
     m = m_blocks * blk
     shape = jax.ShapeDtypeStruct((steps, NLIMBS, m), jnp.uint32)
@@ -298,6 +316,95 @@ def _scan_call(m_blocks: int, steps: int, blk: int, mixed: bool):
         out_shape=(shape,) * 3,
         scratch_shapes=[pltpu.VMEM((NLIMBS, blk), jnp.uint32)] * 3,
     )
+
+
+@functools.lru_cache(maxsize=None)
+def _scan_call_packed(m_blocks: int, steps: int, blk: int):
+    """Prefix scan over PACKED affine inputs with in-kernel sign handling.
+
+    Inputs: x, y as (steps, 8, m) planes of 2x16-bit-packed u32 limbs plus
+    a (steps, 1, m) u32 sign plane (1 = negate y). Unpack + conditional
+    negation happen in VMEM (~400 ops vs the ~40k-op add), replacing the
+    XLA-side unpack/neg/select passes that materialized full-width (16, m)
+    intermediates between the gather and the kernel."""
+    spec_p = pl.BlockSpec((1, NLIMBS // 2, blk), lambda i, j: (j, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_s = pl.BlockSpec((1, 1, blk), lambda i, j: (j, 0, i),
+                          memory_space=pltpu.VMEM)
+    spec_o = pl.BlockSpec((1, NLIMBS, blk), lambda i, j: (j, 0, i),
+                          memory_space=pltpu.VMEM)
+
+    def kern(pxr, pyr, snr, o0, o1, o2, ax, ay, az):
+        j = pl.program_id(1)
+        mask16 = jnp.uint32(0xFFFF)
+        X2, Y2 = [], []
+        for i in range(NLIMBS):
+            w = pxr[0, i // 2]
+            X2.append((w >> 16) if i % 2 else (w & mask16))
+            w = pyr[0, i // 2]
+            Y2.append((w >> 16) if i % 2 else (w & mask16))
+        neg = snr[0, 0] != 0
+        pl_limbs = [jnp.broadcast_to(jnp.uint32(v), Y2[0].shape)
+                    for v in limbs._mod_limbs_l(FQ)]
+        ny, _ = limbs._raw_sub_l(pl_limbs, Y2)   # p - y in (0, p]: lazy-ok
+        Y2 = [jnp.where(neg, ny[i], Y2[i]) for i in range(NLIMBS)]
+
+        @pl.when(j == 0)
+        def _():
+            one = _one_limbs_b(blk)
+            for i in range(NLIMBS):
+                ax[i] = X2[i]
+                ay[i] = Y2[i]
+                az[i] = one[i]
+
+        @pl.when(j > 0)
+        def _():
+            X3, Y3, Z3 = _mixed_add_l(
+                [ax[i] for i in range(NLIMBS)],
+                [ay[i] for i in range(NLIMBS)],
+                [az[i] for i in range(NLIMBS)], X2, Y2)
+            for i in range(NLIMBS):
+                ax[i] = X3[i]
+                ay[i] = Y3[i]
+                az[i] = Z3[i]
+
+        cx = _canon([ax[i] for i in range(NLIMBS)])
+        cy = _canon([ay[i] for i in range(NLIMBS)])
+        cz = _canon([az[i] for i in range(NLIMBS)])
+        for i in range(NLIMBS):
+            o0[0, i] = cx[i]
+            o1[0, i] = cy[i]
+            o2[0, i] = cz[i]
+
+    m = m_blocks * blk
+    shape = jax.ShapeDtypeStruct((steps, NLIMBS, m), jnp.uint32)
+    return pl.pallas_call(
+        kern, grid=(m_blocks, steps),
+        in_specs=[spec_p, spec_p, spec_s], out_specs=(spec_o,) * 3,
+        out_shape=(shape,) * 3,
+        scratch_shapes=[pltpu.VMEM((NLIMBS, blk), jnp.uint32)] * 3,
+    )
+
+
+def prefix_scan_packed(px, py, sn) -> PointP:
+    """Inclusive point prefix over packed affine inputs along the last axis.
+
+    px, py: (8, m, S) packed coordinate planes (2x16-bit per u32, z == 1,
+    identity-free); sn: (m, S) u32 with 1 = negate y. Returns projective
+    PointP (16, m, S), canonical limbs."""
+    _, m, S = px.shape
+    blk = _scan_blk_for(m)
+    mp = -(-m // blk) * blk
+    ins = []
+    for a, rows in ((px, NLIMBS // 2), (py, NLIMBS // 2),
+                    (sn[None], 1)):
+        a = jnp.moveaxis(a, -1, 0)                    # (S, rows, m)
+        if mp != m:
+            pad = jnp.zeros((S, rows, mp - m), jnp.uint32)
+            a = jnp.concatenate([a, pad], axis=-1)
+        ins.append(a)
+    ox, oy, oz = _scan_call_packed(mp // blk, S, blk)(*ins)
+    return PointP(*(jnp.moveaxis(a, 0, -1)[:, :m] for a in (ox, oy, oz)))
 
 
 def _scan_blk_for(m: int) -> int:
@@ -368,10 +475,17 @@ def _fold_call(n_groups: int, n_chunks: int, blk: int, mixed: bool):
                 ay[i] = Y3[i]
                 az[i] = Z3[i]
 
-        for i in range(NLIMBS):
-            outs[0][i] = ax[i]
-            outs[1][i] = ay[i]
-            outs[2][i] = az[i]
+        # only the final chunk's store survives (constant out index map):
+        # skip the per-step copies and canonicalize once at the end
+        @pl.when(j == n_chunks - 1)
+        def _():
+            cx = _canon([ax[i] for i in range(NLIMBS)])
+            cy = _canon([ay[i] for i in range(NLIMBS)])
+            cz = _canon([az[i] for i in range(NLIMBS)])
+            for i in range(NLIMBS):
+                outs[0][i] = cx[i]
+                outs[1][i] = cy[i]
+                outs[2][i] = cz[i]
 
     shape = jax.ShapeDtypeStruct((n_groups, NLIMBS, blk), jnp.uint32)
     return pl.pallas_call(
@@ -491,10 +605,16 @@ def _horner_call(W: int, c: int, width: int):
                 ay[i] = Y3[i]
                 az[i] = Z3[i]
 
-        for i in range(NLIMBS):
-            ox[i] = ax[i]
-            oy[i] = ay[i]
-            oz[i] = az[i]
+        # only the very last grid step's store survives: canonicalize once
+        @pl.when((w == W - 1) & (j == c))
+        def _():
+            cx = _canon([ax[i] for i in range(NLIMBS)])
+            cy = _canon([ay[i] for i in range(NLIMBS)])
+            cz = _canon([az[i] for i in range(NLIMBS)])
+            for i in range(NLIMBS):
+                ox[i] = cx[i]
+                oy[i] = cy[i]
+                oz[i] = cz[i]
 
     shape = jax.ShapeDtypeStruct((NLIMBS, width), jnp.uint32)
     return pl.pallas_call(
@@ -552,10 +672,15 @@ def _dbln_call(c: int, width: int):
                 ay[i] = Y3[i]
                 az[i] = Z3[i]
 
-        for i in range(NLIMBS):
-            ox[i] = ax[i]
-            oy[i] = ay[i]
-            oz[i] = az[i]
+        @pl.when(j == c - 1)
+        def _():
+            cx = _canon([ax[i] for i in range(NLIMBS)])
+            cy = _canon([ay[i] for i in range(NLIMBS)])
+            cz = _canon([az[i] for i in range(NLIMBS)])
+            for i in range(NLIMBS):
+                ox[i] = cx[i]
+                oy[i] = cy[i]
+                oz[i] = cz[i]
 
     shape = jax.ShapeDtypeStruct((NLIMBS, width), jnp.uint32)
     return pl.pallas_call(
