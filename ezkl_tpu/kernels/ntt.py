@@ -50,13 +50,27 @@ def root_of_unity(spec: FieldSpec, k: int, inverse: bool = False) -> int:
     return w
 
 
+def _host_powers(spec: FieldSpec, w: int, n: int) -> np.ndarray:
+    """[w^0 .. w^(n-1)] as HOST (16, n) Montgomery limbs.
+
+    Computed with Python bigints + one vectorized encode: lru-cached
+    constants must be concrete — `jax.ensure_compile_time_eval()` does NOT
+    force concreteness under a shard_map trace, so a device-side compute
+    here would cache a ShardMapTracer when the NTT first runs inside
+    `parallel.sharded.ntt_sharded` and poison every later jit."""
+    out = [1] * n
+    p = spec.modulus
+    for i in range(1, n):
+        out[i] = out[i - 1] * w % p
+    return limbs.encode(spec, out)
+
+
 @functools.lru_cache(maxsize=64)
-def _twiddles(spec: FieldSpec, k: int, inverse: bool) -> jnp.ndarray:
+def _twiddles(spec: FieldSpec, k: int, inverse: bool) -> np.ndarray:
     """Master table [w^0 .. w^(n/2 - 1)] as (16, n/2) Montgomery limbs."""
     n = 1 << k
     w = root_of_unity(spec, k, inverse)
-    with jax.ensure_compile_time_eval():
-        return limbs.jitted(spec).powers(w, max(n // 2, 1))
+    return _host_powers(spec, w, max(n // 2, 1))
 
 
 @functools.lru_cache(maxsize=64)
@@ -277,12 +291,11 @@ def coset_intt_jit(spec, x):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def _coset_powers(spec: FieldSpec, n: int, inverse: bool) -> jnp.ndarray:
+def _coset_powers(spec: FieldSpec, n: int, inverse: bool) -> np.ndarray:
     """[g^0, .., g^(n-1)] for the coset generator g (field multiplicative
-    generator), Montgomery (16, n)."""
+    generator), Montgomery (16, n). Host-computed — see `_host_powers`."""
     g = spec.generator if not inverse else pow(spec.generator, -1, spec.modulus)
-    with jax.ensure_compile_time_eval():
-        return limbs.jitted(spec).powers(g, n)
+    return _host_powers(spec, g, n)
 
 
 def coset_ntt(spec: FieldSpec, coeffs: jnp.ndarray) -> jnp.ndarray:
