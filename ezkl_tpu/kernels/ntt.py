@@ -66,11 +66,16 @@ def _host_powers(spec: FieldSpec, w: int, n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=64)
-def _twiddles(spec: FieldSpec, k: int, inverse: bool) -> np.ndarray:
-    """Master table [w^0 .. w^(n/2 - 1)] as (16, n/2) Montgomery limbs."""
+def _twiddles(spec: FieldSpec, k: int, inverse: bool) -> jnp.ndarray:
+    """Master table [w^0 .. w^(n/2 - 1)] as (16, n/2) Montgomery limbs.
+
+    Host-computed then device-put ONCE: `jnp.asarray` of a concrete numpy
+    array stays concrete under any trace (incl. shard_map), so caching the
+    device array here is tracer-safe — unlike the jitted device compute
+    this replaced — while keeping the table resident across calls."""
     n = 1 << k
     w = root_of_unity(spec, k, inverse)
-    return _host_powers(spec, w, max(n // 2, 1))
+    return jnp.asarray(_host_powers(spec, w, max(n // 2, 1)))
 
 
 @functools.lru_cache(maxsize=64)
@@ -291,11 +296,12 @@ def coset_intt_jit(spec, x):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def _coset_powers(spec: FieldSpec, n: int, inverse: bool) -> np.ndarray:
+def _coset_powers(spec: FieldSpec, n: int, inverse: bool) -> jnp.ndarray:
     """[g^0, .., g^(n-1)] for the coset generator g (field multiplicative
-    generator), Montgomery (16, n). Host-computed — see `_host_powers`."""
+    generator), Montgomery (16, n). Host-computed, device-put once —
+    tracer-safe (see `_twiddles`)."""
     g = spec.generator if not inverse else pow(spec.generator, -1, spec.modulus)
-    return _host_powers(spec, g, n)
+    return jnp.asarray(_host_powers(spec, g, n))
 
 
 def coset_ntt(spec: FieldSpec, coeffs: jnp.ndarray) -> jnp.ndarray:
