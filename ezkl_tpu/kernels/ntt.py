@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from ..fieldmath import limbs
-from ..fieldmath.spec import FieldSpec, NLIMBS, bn254_fr
+from ..fieldmath.spec import FieldSpec, LIMB_BITS, LIMB_MASK, NLIMBS, bn254_fr
 
 
 # ---------------------------------------------------------------------------
@@ -53,29 +53,66 @@ def root_of_unity(spec: FieldSpec, k: int, inverse: bool = False) -> int:
 def _host_powers(spec: FieldSpec, w: int, n: int) -> np.ndarray:
     """[w^0 .. w^(n-1)] as HOST (16, n) Montgomery limbs.
 
-    Computed with Python bigints + one vectorized encode: lru-cached
+    Computed with Python bigints (host numpy, never device): lru-cached
     constants must be concrete — `jax.ensure_compile_time_eval()` does NOT
     force concreteness under a shard_map trace, so a device-side compute
     here would cache a ShardMapTracer when the NTT first runs inside
-    `parallel.sharded.ntt_sharded` and poison every later jit."""
-    out = [1] * n
+    `parallel.sharded.ntt_sharded` and poison every later jit.
+
+    Vectorized: log2(n) doubling rounds build the power ladder as
+    object-array multiplies (P[m:2m] = P[:m] * w^m), then Montgomery-scale
+    and slice limbs in NLIMBS vectorized passes — no per-element
+    `int_to_limbs` loop (~20x faster at n=2^20 than the naive loop)."""
     p = spec.modulus
-    for i in range(1, n):
-        out[i] = out[i - 1] * w % p
-    return limbs.encode(spec, out)
+    pw = np.array([1], dtype=object)
+    while len(pw) < n:
+        m = len(pw)
+        pw = np.concatenate([pw, (pw * pow(w, m, p)) % p])
+    pw = (pw[:n] * spec.r) % p  # to Montgomery form, vectorized
+    out = np.zeros((NLIMBS, n), np.uint32)
+    for i in range(NLIMBS):
+        out[i] = (pw & LIMB_MASK).astype(np.uint32)
+        pw = pw >> LIMB_BITS
+    return out
 
 
 @functools.lru_cache(maxsize=64)
-def _twiddles(spec: FieldSpec, k: int, inverse: bool) -> jnp.ndarray:
-    """Master table [w^0 .. w^(n/2 - 1)] as (16, n/2) Montgomery limbs.
+def _twiddles_host(spec: FieldSpec, k: int, inverse: bool) -> np.ndarray:
+    """Master table [w^0 .. w^(n/2 - 1)] as HOST (16, n/2) Montgomery limbs.
 
-    Host-computed then device-put ONCE: `jnp.asarray` of a concrete numpy
-    array stays concrete under any trace (incl. shard_map), so caching the
-    device array here is tracer-safe — unlike the jitted device compute
-    this replaced — while keeping the table resident across calls."""
+    NUMPY result on purpose. lru-caching a `jnp.asarray` here is the
+    round-4 regression: under a jit trace `jnp.asarray(np_array)` returns a
+    DynamicJaxprTracer, the cache retains it, and every later distinct jit
+    of the same size dies with UnexpectedTracerError. Device residency is
+    handled separately by `_dev_cached`, which refuses to memoize tracers."""
     n = 1 << k
     w = root_of_unity(spec, k, inverse)
-    return jnp.asarray(_host_powers(spec, w, max(n // 2, 1)))
+    return _host_powers(spec, w, max(n // 2, 1))
+
+
+_DEV_MEMO: dict = {}
+
+
+def _dev_cached(key, host: np.ndarray) -> jnp.ndarray:
+    """Device-resident constant memo that CANNOT be poisoned by tracers.
+
+    `jnp.asarray(host)` inside an active trace yields a Tracer; storing one
+    breaks every subsequent jit that touches the same table (the r4 HEAD
+    regression). We only memoize when the result is a concrete array —
+    under a trace we return the per-trace staged constant uncached, which
+    is correct (XLA folds it) and costs one host->device transfer per
+    compile, not per call."""
+    hit = _DEV_MEMO.get(key)
+    if hit is not None:
+        return hit
+    arr = jnp.asarray(host)
+    if not isinstance(arr, jax.core.Tracer):
+        _DEV_MEMO[key] = arr
+    return arr
+
+
+def _twiddles(spec: FieldSpec, k: int, inverse: bool) -> jnp.ndarray:
+    return _dev_cached(("tw", spec, k, inverse), _twiddles_host(spec, k, inverse))
 
 
 @functools.lru_cache(maxsize=64)
@@ -166,7 +203,8 @@ def _ntt_radix2(spec: FieldSpec, coeffs: jnp.ndarray, k: int,
         x = jnp.concatenate([hi, lo], axis=-1).reshape(x.shape)
 
     if inverse:
-        ninv = jnp.asarray(_n_inv_const(spec, k)).reshape((NLIMBS,) + (1,) * (bdims + 1))
+        ninv = _dev_cached(("ninv", spec, k), _n_inv_const(spec, k))
+        ninv = ninv.reshape((NLIMBS,) + (1,) * (bdims + 1))
         x = limbs.mont_mul(spec, x, jnp.broadcast_to(ninv, x.shape))
     return x
 
@@ -186,13 +224,7 @@ def _fourstep_twiddle(spec: FieldSpec, k: int, inverse: bool) -> jnp.ndarray:
     n1, n2 = 1 << k1, 1 << k2
     n = 1 << k
     w = root_of_unity(spec, k, inverse)
-    p = spec.modulus
-    pw = np.empty(n, dtype=object)
-    acc = 1
-    for i in range(n):
-        pw[i] = acc
-        acc = (acc * w) % p
-    P = limbs.encode(spec, pw)                               # (16, n)
+    P = _host_powers(spec, w, n)                             # (16, n)
     idx = (np.arange(n1, dtype=np.int64)[:, None]
            * np.arange(n2, dtype=np.int64)[None, :]) % n
     # NUMPY result: a jnp array built during an outer jit trace would cache
@@ -246,7 +278,8 @@ def _ntt_four_step(spec: FieldSpec, coeffs: jnp.ndarray, k: int,
     # (w^(n1 n2 i2 j2) = w_{n2}^(i2 j2)).
     tw1 = _twiddles(spec, k1, inverse)
     y = _column_ntt(spec, x, inverse, tw1)            # (16, L, j1, i2)
-    wt = jnp.asarray(_fourstep_twiddle(spec, k, inverse))  # (16,n1,n2): w^(j1*i2)
+    wt = _dev_cached(("fs", spec, k, inverse),
+                     _fourstep_twiddle(spec, k, inverse))  # (16,n1,n2): w^(j1*i2)
     y = limbs.mont_mul(spec, y, wt[:, None])
     y = jnp.swapaxes(y, 2, 3)                         # (16, L, i2, j1)
     tw2 = _twiddles(spec, k2, inverse)
@@ -255,7 +288,7 @@ def _ntt_four_step(spec: FieldSpec, coeffs: jnp.ndarray, k: int,
     # index n1*j2 + j1 directly
     out = z.reshape(NLIMBS, L, n)
     if inverse:
-        ninv = jnp.asarray(_n_inv_const(spec, k))[:, None, None]
+        ninv = _dev_cached(("ninv", spec, k), _n_inv_const(spec, k))[:, None, None]
         out = limbs.mont_mul(spec, out, jnp.broadcast_to(ninv, out.shape))
     return out.reshape(shape)
 
@@ -296,12 +329,17 @@ def coset_intt_jit(spec, x):
 # ---------------------------------------------------------------------------
 
 @functools.lru_cache(maxsize=64)
-def _coset_powers(spec: FieldSpec, n: int, inverse: bool) -> jnp.ndarray:
+def _coset_powers_host(spec: FieldSpec, n: int, inverse: bool) -> np.ndarray:
     """[g^0, .., g^(n-1)] for the coset generator g (field multiplicative
-    generator), Montgomery (16, n). Host-computed, device-put once —
-    tracer-safe (see `_twiddles`)."""
+    generator), HOST Montgomery (16, n). Numpy on purpose — see
+    `_twiddles_host` for why caching a device array here is a bug."""
     g = spec.generator if not inverse else pow(spec.generator, -1, spec.modulus)
-    return jnp.asarray(_host_powers(spec, g, n))
+    return _host_powers(spec, g, n)
+
+
+def _coset_powers(spec: FieldSpec, n: int, inverse: bool) -> jnp.ndarray:
+    return _dev_cached(("coset", spec, n, inverse),
+                       _coset_powers_host(spec, n, inverse))
 
 
 def coset_ntt(spec: FieldSpec, coeffs: jnp.ndarray) -> jnp.ndarray:
