@@ -98,8 +98,11 @@ def main():
     if os.environ.get("BENCH_KIND") == "ntt":
         return bench_ntt()
 
+    # The alarm must fire BEFORE the driver's own hard timeout (= BUDGET),
+    # or the best-so-far line never prints and the round records 0.0 —
+    # exactly what happened in r4 (alarm was BUDGET+15).
     signal.signal(signal.SIGALRM, emit_and_exit)
-    signal.alarm(max(30, int(BUDGET) + 15))
+    signal.alarm(max(30, int(BUDGET) - 25))
 
     import jax
     import jax.numpy as jnp
@@ -110,10 +113,11 @@ def main():
     c = int(os.environ.get("BENCH_C", "0")) or None
     iters = int(os.environ.get("BENCH_ITERS", "5"))
     n_env = int(os.environ.get("BENCH_N", "0"))
-    # Two-rung ladder: one cheap safety rung, then the 2^20 headline size.
-    # (r3 lesson: a 4-rung ladder spent the whole budget on cold compiles of
-    # the small sizes and never reached 2^20, recording 446k instead of 890k.)
-    ladder = [n_env] if n_env else [1 << 16, 1 << 20]
+    # Three-rung ladder: a cheap 2^14 rung that must land even on a
+    # stone-cold machine (r4 lesson: the 2^16 first rung never completed
+    # inside the driver budget on a fresh cache and the round recorded 0.0),
+    # then 2^16, then the 2^20 headline size.
+    ladder = [n_env] if n_env else [1 << 14, 1 << 16, 1 << 20]
 
     n_base = 1 << 13
     xs, ys, zs = host_points(min(n_base, min(ladder)))

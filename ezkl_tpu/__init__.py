@@ -36,8 +36,16 @@ def _machine_tag() -> str:
 
 
 def cache_dir() -> str:
-    """The machine-keyed persistent-cache directory (shared by the package
-    import hook, tests and tools)."""
+    """The persistent-cache directory (shared by the package import hook,
+    tests and tools).
+
+    Keying: XLA:CPU AOT entries are host-machine code, so the CPU backend
+    uses a machine-fingerprint subdir (loading another machine's entry
+    SIGILLs at run time). Accelerator executables (TPU / the axon tunnel)
+    are compiled for the DEVICE and are host-CPU-independent — they live in
+    a platform-named subdir that stays warm across build-host rotation
+    (r4's driver bench recorded 0.0 because the TPU cache was invisible
+    behind another host's CPU key)."""
     import pathlib
 
     repo_root = pathlib.Path(__file__).resolve().parent.parent
@@ -45,7 +53,13 @@ def cache_dir() -> str:
                if (repo_root / "pyproject.toml").exists()
                else pathlib.Path.home() / ".ezkl-tpu" / "jax-cache")
     base = pathlib.Path(_os.environ.get("EZKL_TPU_CACHE", str(default)))
-    return str(base / _machine_tag())
+    try:
+        import jax
+        backend = jax.default_backend()
+    except Exception:
+        backend = "cpu"
+    tag = _machine_tag() if backend == "cpu" else f"p-{backend}"
+    return str(base / tag)
 
 
 def _setup_compile_cache():

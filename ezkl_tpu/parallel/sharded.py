@@ -106,17 +106,22 @@ def msm_sharded(mesh: Mesh, points: PointP, scalars: jnp.ndarray,
 # NTT (four-step)
 # ---------------------------------------------------------------------------
 
-@functools.lru_cache(maxsize=32)
 def _step2_twiddles(spec: FieldSpec, R: int, C: int, inverse: bool) -> jnp.ndarray:
-    """w^(r*c2) table, (16, R, C) Montgomery: gather of the master power
-    table at exponents (r*c2) mod N (device-built, no host bigint loop)."""
+    """w^(r*c2) table, (16, R, C) Montgomery.
+
+    Host-built then memoized via `ntt._dev_cached` (never caches a tracer):
+    the previous device-built lru cache was the same bug class as the r4
+    twiddle regression when `ntt_sharded` is first reached under a jit."""
+    key = ("fs2", spec, R, C, inverse)
+    hit = nttmod._DEV_MEMO.get(key)
+    if hit is not None:
+        return hit
     n = R * C
     k = n.bit_length() - 1
     w = nttmod.root_of_unity(spec, k, inverse)
+    master = nttmod._host_powers(spec, w, n)     # (16, n) host numpy
     idx = (np.outer(np.arange(R, dtype=np.int64), np.arange(C, dtype=np.int64)) % n)
-    with jax.ensure_compile_time_eval():
-        master = limbs.jitted(spec).powers(w, n)  # (16, n)
-        return master[:, idx]
+    return nttmod._dev_cached(key, np.ascontiguousarray(master[:, idx]))
 
 
 def ntt_sharded(mesh: Mesh, spec: FieldSpec, mat: jnp.ndarray,
@@ -164,3 +169,84 @@ def from_fourstep_layout(z: jnp.ndarray) -> jnp.ndarray:
     """(16, R, C) output (X[C*r2 + c2]) -> (16, N) natural order."""
     _, R, C = z.shape
     return z.reshape(NLIMBS, R * C)
+
+
+# ---------------------------------------------------------------------------
+# batched sharded transforms — the prover's domain-transform path
+# (VERDICT r4 item 7: `create_proof`'s to_ext/intt stages were
+# single-device even under a mesh; this wires `ntt_sharded` into them)
+# ---------------------------------------------------------------------------
+
+def shard_factors(mesh: Mesh, n: int) -> tuple[int, int] | None:
+    """(R, C) with R*C == n, both divisible by the mesh size and each a
+    power of two — or None if n can't shard on this mesh."""
+    d = mesh.devices.size
+    if d < 2 or n < d * d or (n & (n - 1)):
+        return None
+    k = n.bit_length() - 1
+    R = 1 << (k // 2)
+    C = n // R
+    if R % d or C % d:
+        R, C = C, R
+    if R % d or C % d:
+        return None
+    return R, C
+
+
+def ntt_sharded_batched(mesh: Mesh, spec: FieldSpec, x: jnp.ndarray,
+                        inverse: bool = False) -> jnp.ndarray:
+    """Sharded four-step NTT of a BATCH of polys: x is (16, B, n) in natural
+    order (coeffs forward / evals inverse); returns (16, B, n) natural
+    order. Bit-identical to the single-device transform (exact integer
+    arithmetic), so mesh and non-mesh proofs agree byte-for-byte."""
+    _, B, n = x.shape
+    fac = shard_factors(mesh, n)
+    assert fac is not None, f"n={n} not shardable on {mesh.devices.size}"
+    R, C = fac
+    mat = jnp.swapaxes(x.reshape(NLIMBS, B, C, R), 2, 3)   # (16, B, R, C)
+    tw = _step2_twiddles(spec, R, C, inverse)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None, AXIS, None), P(None, AXIS, None)),
+        out_specs=P(None, None, None, AXIS),
+        check_vma=False,
+    )
+    def run(m, t):
+        y = nttmod.ntt(spec, m, inverse=inverse)           # (16, B, Rl, C)
+        y = limbs.mont_mul(spec, y, t[:, None])
+        y = jax.lax.all_to_all(y, AXIS, split_axis=3, concat_axis=2,
+                               tiled=True)                 # (16, B, R, Cl)
+        y = jnp.moveaxis(y, 2, -1)                         # (16, B, Cl, R)
+        z = nttmod.ntt(spec, y, inverse=inverse)
+        return jnp.moveaxis(z, -1, 2)                      # (16, B, R, Cl)
+
+    z = run(mat, tw)
+    return z.reshape(NLIMBS, B, n)                         # X[C*r2+c2] natural
+
+
+def to_ext_sharded(mesh: Mesh, dom, v: jnp.ndarray) -> jnp.ndarray:
+    """Sharded lagrange -> extended-coset transform for a (C, 16, n) column
+    stack (or (16, n)): iNTT over H, zero-pad, coset-scale, NTT over the
+    extended domain — each transform four-step sharded when its size
+    divides the mesh, single-device otherwise. Matches
+    `Domain.coeff_to_extended(intt(v))` bit-for-bit."""
+    spec = dom.spec
+    single = v.ndim == 2
+    vv = v[None] if single else v
+    vv = jnp.moveaxis(vv, 1, 0)                            # (16, B, n)
+    n, ext = dom.n, dom.n_ext
+    if shard_factors(mesh, n) is not None:
+        coeff = ntt_sharded_batched(mesh, spec, vv, inverse=True)
+    else:
+        coeff = nttmod.intt(spec, vv)
+    pad = jnp.zeros((NLIMBS, coeff.shape[1], ext - n), coeff.dtype)
+    padded = jnp.concatenate([coeff, pad], axis=-1)
+    gp = nttmod._coset_powers(spec, ext, inverse=False)
+    scaled = limbs.mont_mul(spec, padded, gp[:, None, :])
+    if shard_factors(mesh, ext) is not None:
+        out = ntt_sharded_batched(mesh, spec, scaled)
+    else:
+        out = nttmod.ntt(spec, scaled)
+    out = jnp.moveaxis(out, 0, 1)                          # (B, 16, ext)
+    return out[0] if single else out

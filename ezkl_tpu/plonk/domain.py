@@ -74,30 +74,41 @@ class Domain:
         w = self.omega if rotation >= 0 else pow(self.omega, -1, p)
         return (x * pow(w, abs(rotation), p)) % p
 
-    @functools.lru_cache(maxsize=None)
     def vanishing_on_extended(self) -> jnp.ndarray:
         """Z_H(x) = x^n - 1 evaluated over the extended coset (16, n_ext),
-        Montgomery. Z_H(g*w'^i) = g^n * w'^(n*i) - 1 (periodic, cheap)."""
+        Montgomery. Z_H(g*w'^i) = g^n * w'^(n*i) - 1 (periodic, cheap).
+
+        Host-computed numpy + tracer-proof device memo (`ntt._dev_cached`):
+        an lru-cached device array here would retain a tracer when first
+        touched inside a jit (the r4 NTT-twiddle failure class — this one
+        is reached from inside the jitted quotient-combine stage)."""
+        import numpy as np
         p = self.spec.modulus
         gn = pow(self.spec.generator, self.n, p)
         period = self.n_ext // self.n
         vals = [(gn * pow(self.omega_ext, self.n * i, p) - 1) % p
                 for i in range(period)]
-        with jax.ensure_compile_time_eval():
-            base = jnp.asarray(limbs.encode(self.spec, vals))
-            return jnp.tile(base, (1, self.n))
+        key = ("vanish", self.spec, self.k, self.extended_k)
+        hit = nttmod._DEV_MEMO.get(key)
+        if hit is not None:
+            return hit
+        base = np.tile(limbs.encode(self.spec, vals), (1, self.n))
+        return nttmod._dev_cached(key, base)
 
-    @functools.lru_cache(maxsize=None)
     def vanishing_inv_on_extended(self) -> jnp.ndarray:
         """1 / Z_H over the extended coset (never zero there)."""
+        import numpy as np
         p = self.spec.modulus
         gn = pow(self.spec.generator, self.n, p)
         period = self.n_ext // self.n
         vals = [pow((gn * pow(self.omega_ext, self.n * i, p) - 1) % p, -1, p)
                 for i in range(period)]
-        with jax.ensure_compile_time_eval():
-            base = jnp.asarray(limbs.encode(self.spec, vals))
-            return jnp.tile(base, (1, self.n))
+        key = ("vanish_inv", self.spec, self.k, self.extended_k)
+        hit = nttmod._DEV_MEMO.get(key)
+        if hit is not None:
+            return hit
+        base = np.tile(limbs.encode(self.spec, vals), (1, self.n))
+        return nttmod._dev_cached(key, base)
 
     # -- polynomial evaluation at a host point ------------------------------
 

@@ -116,7 +116,13 @@ def commit_many(srs: SRS, stacks, lagrange: bool = True) -> list:
     stacks: (C, 16, m) device array (or a list of (16, m) arrays).
     Returns a list of C host affine points (transcript-ready), in order.
     Falls back to per-poly commits under an active mesh (the sharded MSM
-    path is single-poly for now)."""
+    path is single-poly for now).
+
+    The column count is padded to the next power of two with zero polys
+    (committing to the identity, sliced off before decode) so ONE compiled
+    executable serves every batch size in a bucket — a prove issues ~5
+    different C values and each distinct C was a fresh multi-minute MSM
+    compile on a cold TPU cache (the r4 k=14 cold-compile wall)."""
     from ..fieldmath import curve as curvemod
     if isinstance(stacks, (list, tuple)):
         if not stacks:
@@ -131,7 +137,12 @@ def commit_many(srs: SRS, stacks, lagrange: bool = True) -> list:
             _decode_one(_commit(srs, stacks[i], lagrange)) for i in range(C)]
     assert m <= srs.n, "poly too long for SRS"
     pts = jax.tree.map(lambda a: a[..., :m], srs.g1)
-    out = _jitted_commit_multi(m, lagrange, C)(pts, stacks)
+    Cp = 1 << (C - 1).bit_length()
+    if Cp != C:
+        stacks = jnp.concatenate(
+            [stacks, jnp.zeros((Cp - C,) + stacks.shape[1:], stacks.dtype)])
+    out = _jitted_commit_multi(m, lagrange, Cp)(pts, stacks)
+    out = PointP(out.x[..., :C], out.y[..., :C], out.z[..., :C])
     return curvemod.decode_points(out)
 
 

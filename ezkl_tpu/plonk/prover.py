@@ -149,15 +149,35 @@ def _running_product(v):
     return jnp.concatenate([one, incl[..., :-1]], axis=-1)
 
 
-@functools.lru_cache(maxsize=256)
+_LAG_MEMO: dict = {}
+
+
+def _lagrange_bases_ext(dom: Domain, indices: tuple) -> jnp.ndarray:
+    """[l_i over the extended coset for i in indices] as (16, B, n_ext).
+
+    ONE jitted batched transform instead of per-index eager chains: the
+    prover needs BLINDING_FACTORS+2 basis vectors per pk and each eager
+    intt+coset_ntt chain is hundreds of per-op dispatches on the TPU
+    tunnel (~10-15 ms each — a visible chunk of the r4 821 s setup).
+    Explicit memo with a tracer guard (never cache under a trace)."""
+    key = (dom.k, dom.extended_k, indices)
+    hit = _LAG_MEMO.get(key)
+    if hit is not None:
+        return hit
+    one = np.asarray(limbs.encode(FR, [1]))[:, 0]
+    e = np.zeros((NLIMBS, len(indices), dom.n), np.uint32)
+    for b, idx in enumerate(indices):
+        e[:, b, idx] = one
+    fn = jax.jit(lambda v: dom.coeff_to_extended(nttmod.intt(FR, v)))
+    out = fn(jnp.asarray(e))
+    if not isinstance(out, jax.core.Tracer):
+        _LAG_MEMO[key] = out
+    return out
+
+
 def _lagrange_basis_ext(dom: Domain, index: int) -> jnp.ndarray:
     """l_index evaluated over the extended coset (16, n_ext)."""
-    e = np.zeros((NLIMBS, dom.n), np.uint32)
-    with jax.ensure_compile_time_eval():
-        one = limbs.const(FR, 1)
-        basis = jnp.asarray(e).at[:, index].set(one)
-        coeff = nttmod.intt(FR, basis)
-        return dom.coeff_to_extended(coeff)
+    return _lagrange_bases_ext(dom, (index,))[:, 0]
 
 
 def _eval_label(kind: str, index: int, rotation: int) -> str:
@@ -213,14 +233,17 @@ class ProverKernels:
                                  (NLIMBS, ext)))
         a = last_active_row(n)
         self.a = a
-        l0_ext = _lagrange_basis_ext(dom, 0)
-        llast_ext = _lagrange_basis_ext(dom, a)       # closing row basis
+        # all needed basis vectors in ONE batched transform: l_0, l_a, and
+        # the blinding rows (a, n)
+        bases = _lagrange_bases_ext(dom, (0, a) + tuple(range(a + 1, n)))
+        l0_ext = bases[:, 0]
+        llast_ext = bases[:, 1]                       # closing row basis
         one_ext = limbs.ones_mont(FR, (ext,))
         # not_active = 1 - sum_{i in [a, n)} l_i: masks the running
         # constraints off the closing + blinding rows
         blind_sum = llast_ext
-        for i in range(a + 1, n):
-            blind_sum = limbs.jitted(FR).add(blind_sum, _lagrange_basis_ext(dom, i))
+        for i in range(bases.shape[1] - 2):
+            blind_sum = limbs.jitted(FR).add(blind_sum, bases[:, 2 + i])
         not_last = limbs.jitted(FR).sub(one_ext, blind_sum)
         sigma_l = pk.sigma_lagrange
 
@@ -326,18 +349,56 @@ class ProverKernels:
 
         def stage_to_ext(advice_l, fixed_l, instance_l, z_list, phi_list,
                          m_all, shz_list):
-            # separate jit invocations per stack — one fused graph here is
-            # too much for the XLA CPU compiler at k >= 11
+            # ONE padded batched transform for every column stack: the
+            # previous per-stack jits compiled a fresh multi-minute TPU
+            # executable per distinct column count (the r4 cold-compile
+            # wall); padding Ctot to a power of two makes one executable
+            # serve every circuit in a bucket at a given k
+            stacks = ([s for s, nz in ((fixed_l, cs.num_fixed),
+                                       (advice_l, cs.num_advice),
+                                       (instance_l, cs.num_instance),
+                                       (sigma_l, m_perm)) if nz]
+                      + [s[None] for s in
+                         list(z_list) + list(phi_list) + list(m_all)
+                         + list(shz_list)])
+            if not stacks:
+                e = empty_ext()
+                return ({FIXED: e, ADVICE: e, INSTANCE: e}, e, [], [], [], [])
+            big = jnp.concatenate(stacks, axis=0)      # (Ctot, 16, n)
+            C = big.shape[0]
+            Cp = 1 << (C - 1).bit_length()
+            if Cp != C:
+                big = jnp.concatenate(
+                    [big, jnp.zeros((Cp - C,) + big.shape[1:], big.dtype)])
+            # multi-chip: route the domain transforms through the
+            # four-step sharded NTT when a mesh is active and the extended
+            # domain divides it (bit-identical to the single-device path,
+            # so mesh and non-mesh proofs agree byte-for-byte)
+            from ..parallel import sharded as _sh
+            mesh = _sh.active_mesh()
+            if mesh is not None and _sh.shard_factors(mesh, ext) is not None:
+                ext_all = _sh.to_ext_sharded(mesh, dom, big)[:C]
+            else:
+                ext_all = _to_ext_jit(big)[:C]
+
+            off = 0
+
+            def take(cnt):
+                nonlocal off
+                out = ext_all[off:off + cnt]
+                off += cnt
+                return out
+
             cols_ext = {
-                FIXED: _to_ext_jit(fixed_l) if cs.num_fixed else empty_ext(),
-                ADVICE: _to_ext_jit(advice_l) if cs.num_advice else empty_ext(),
-                INSTANCE: _to_ext_jit(instance_l) if cs.num_instance else empty_ext(),
+                FIXED: take(cs.num_fixed) if cs.num_fixed else empty_ext(),
+                ADVICE: take(cs.num_advice) if cs.num_advice else empty_ext(),
+                INSTANCE: take(cs.num_instance) if cs.num_instance else empty_ext(),
             }
-            sig_ext = _to_ext_jit(sigma_l) if m_perm else empty_ext()
-            z_ext = [_to_ext_jit(z) for z in z_list]
-            phi_ext = [_to_ext_jit(p) for p in phi_list]
-            m_ext = [_to_ext_jit(m) for m in m_all]
-            shz_ext = [_to_ext_jit(z) for z in shz_list]
+            sig_ext = take(m_perm) if m_perm else empty_ext()
+            z_ext = [take(1)[0] for _ in z_list]
+            phi_ext = [take(1)[0] for _ in phi_list]
+            m_ext = [take(1)[0] for _ in m_all]
+            shz_ext = [take(1)[0] for _ in shz_list]
             return cols_ext, sig_ext, z_ext, phi_ext, m_ext, shz_ext
 
         self.stage_to_ext = stage_to_ext
@@ -437,7 +498,12 @@ class ProverKernels:
                             limbs.mont_mul(FR, m_e, prod_f))
             return limbs.mont_mul(FR, not_last, limbs.sub(FR, lhs, rhs))
 
-        TERM_CHUNK = 2
+        # On CPU a big fused term graph overflows the XLA CPU compiler's
+        # stack (k>=11); on TPU the terms are pallas-call chains whose
+        # per-executable compile overhead (tunnel remote-compile RPC) is
+        # the r4 cold wall — fewer, fatter jits win there.
+        TERM_CHUNK = int(_os.environ.get("EZKL_TPU_TERM_CHUNK", "0")) or \
+            (2 if jax.default_backend() == "cpu" else 6)
         self._term_jits = []
         for lo in range(0, len(term_descs), TERM_CHUNK):
             descs = term_descs[lo:lo + TERM_CHUNK]
@@ -896,7 +962,14 @@ def _create_proof_impl(pk: ProvingKey, srs: SRS, asg: Assignment,
 
     for point, jobs in eval_jobs.items():
         stack = jnp.stack([c for _, c in jobs])
-        vals = kern.stage_eval(stack, limbs.const(FR, point))
+        # pad the poly count to a power of two: one compiled executable per
+        # bucket instead of one per distinct opening-group size
+        Q = stack.shape[0]
+        Qp = 1 << (Q - 1).bit_length()
+        if Qp != Q:
+            stack = jnp.concatenate(
+                [stack, jnp.zeros((Qp - Q,) + stack.shape[1:], stack.dtype)])
+        vals = kern.stage_eval(stack, limbs.const(FR, point))[:Q]
         for (label, _), row in zip(jobs, np.asarray(vals)):
             evals[label] = int(limbs.decode(FR, row[:, None])[0])
 
@@ -938,6 +1011,18 @@ def _create_proof_impl(pk: ProvingKey, srs: SRS, asg: Assignment,
         lag_stack = jnp.stack([poly for poly, _ in items])
         ev_stack = jnp.stack(
             [limbs.const(FR, evals[label]) for _, label in items])
+        # pad with LEADING zero rows to a power of two (a zero poly/value
+        # contributes nothing to the running v-RLC, so the witness is
+        # bit-identical) — one compiled executable per size bucket
+        Q = lag_stack.shape[0]
+        Qp = 1 << (Q - 1).bit_length()
+        if Qp != Q:
+            lag_stack = jnp.concatenate(
+                [jnp.zeros((Qp - Q,) + lag_stack.shape[1:], lag_stack.dtype),
+                 lag_stack])
+            ev_stack = jnp.concatenate(
+                [jnp.zeros((Qp - Q,) + ev_stack.shape[1:], ev_stack.dtype),
+                 ev_stack])
         w_stacks.append(kern.stage_open(lag_stack, ev_stack, v_dev,
                                         limbs.const(FR, point)))
     opening_comms = kzg.commit_many(srs, w_stacks)

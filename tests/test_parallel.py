@@ -72,3 +72,39 @@ def test_prover_commits_via_mesh_match_single_device():
         sharded.set_mesh(None)
     assert p_mesh.to_json() == p_single.to_json()
     assert verifier.verify(pk.vk, srs.g2, srs.s_g2, p_mesh)
+
+
+def test_ntt_sharded_batched_matches_single():
+    """Batched four-step sharded NTT == single-device NTT, forward and
+    inverse, multiple polys at once (the prover's to_ext transform path)."""
+    import numpy as np
+    mesh = sharded.make_mesh(4)
+    B, n = 3, 256                       # shard_factors(4, 256) = (16, 16)
+    assert sharded.shard_factors(mesh, n) is not None
+    vals = np.array([[rng.randrange(FR.modulus) for _ in range(n)]
+                     for _ in range(B)], object)
+    x = jnp.asarray(limbs.encode(FR, vals))            # (16, B, n)
+    got = np.asarray(sharded.ntt_sharded_batched(mesh, FR, x))
+    want = np.asarray(nttmod.ntt(FR, x))
+    assert (got == want).all()
+    back = np.asarray(sharded.ntt_sharded_batched(
+        mesh, FR, jnp.asarray(got), inverse=True))
+    assert (back == np.asarray(x)).all()
+
+
+def test_to_ext_sharded_matches_domain():
+    """Sharded lagrange->extended == Domain.coeff_to_extended(intt(v)),
+    bit-for-bit, for a column stack."""
+    import numpy as np
+    from ezkl_tpu.plonk.domain import domain
+    mesh = sharded.make_mesh(4)
+    dom = domain(4)                     # n=16, ext=128; ext shards on d=4
+    assert sharded.shard_factors(mesh, dom.n_ext) is not None
+    C, n = 2, dom.n
+    vals = np.array([[rng.randrange(FR.modulus) for _ in range(n)]
+                     for _ in range(C)], object)
+    stack = jnp.moveaxis(jnp.asarray(limbs.encode(FR, vals)), 0, 1)  # (C,16,n)
+    got = np.asarray(sharded.to_ext_sharded(mesh, dom, stack))
+    want = np.asarray(jax.vmap(
+        lambda v: dom.coeff_to_extended(nttmod.intt(FR, v)))(stack))
+    assert (got == want).all()
