@@ -35,6 +35,11 @@ def _add_run_args(p):
     p.add_argument("--output-visibility", default=None)
     p.add_argument("--param-visibility", default=None)
     p.add_argument("--scale-rebase-multiplier", type=int, default=None)
+    p.add_argument("--decomp-base", type=int, default=None)
+    p.add_argument("--decomp-legs", type=int, default=None)
+    p.add_argument("--ignore-range-check-inputs-outputs", action="store_true",
+                   help="skip the Input constrain-on-entry decompose "
+                        "(reference flag of the same name)")
 
 
 def _run_args_from(ns) -> RunArgs:
@@ -55,6 +60,12 @@ def _run_args_from(ns) -> RunArgs:
             setattr(ra, name, v.lower())
     if ns.scale_rebase_multiplier is not None:
         ra.scale_rebase_multiplier = ns.scale_rebase_multiplier
+    if ns.decomp_base is not None:
+        ra.decomp_base = ns.decomp_base
+    if ns.decomp_legs is not None:
+        ra.decomp_legs = ns.decomp_legs
+    if ns.ignore_range_check_inputs_outputs:
+        ra.ignore_range_check_inputs_outputs = True
     return ra.validate()
 
 
@@ -100,8 +111,13 @@ def main(argv=None):
     p.add_argument("--reusable", action="store_true",
                    help="split constants into a VKA data contract "
                         "(<name>VKA.sol); verifier takes the VKA address")
-    cmd("deploy-evm")
-    cmd("verify-evm")
+    p = cmd("deploy-evm")
+    p.add_argument("--bin-path", default="Verifier.bin")
+    p.add_argument("--addr-path", default="contract.addr")
+    p.add_argument("--chain-path", default="evm_chain.json")
+    p = cmd("verify-evm")
+    p.add_argument("--addr-path", default="contract.addr")
+    p.add_argument("--chain-path", default="evm_chain.json")
     p = cmd("aggregate")
     p.add_argument("--proof-paths", nargs="+", default=["proof.json"])
     p.add_argument("--vk-paths", nargs="+", default=["vk.key"])
@@ -174,8 +190,14 @@ def main(argv=None):
                                 ns.settings_path, reusable=ns.reusable)
         print(f"Solidity verifier -> {ns.sol_code_path}"
               + (" (+ VKA data contract)" if ns.reusable else ""))
-    elif c in ("deploy-evm", "verify-evm"):
-        getattr(api, c.replace("-", "_"))()
+    elif c == "deploy-evm":
+        addr = api.deploy_evm(ns.bin_path, ns.addr_path, ns.chain_path)
+        print(f"deployed verifier at {addr} (in-repo EVM, "
+              f"state -> {ns.chain_path})")
+    elif c == "verify-evm":
+        ok = api.verify_evm(ns.proof_path, ns.addr_path, ns.chain_path)
+        print("proof verified on EVM" if ok else "EVM VERIFICATION FAILED")
+        sys.exit(0 if ok else 1)
     elif c == "aggregate":
         vkp = ns.vk_paths if len(ns.vk_paths) > 1 else ns.vk_paths[0]
         agg = api.aggregate(ns.proof_paths, vkp,

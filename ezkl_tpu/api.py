@@ -310,13 +310,16 @@ def _make_transcript(kind):
 
 
 def prove(compiled_path, input_path, pk_path="pk.key", srs_path=None,
-          proof_path="proof.json", transcript=None):
+          proof_path="proof.json", transcript=None, seed=None):
+    """seed: deterministic blinding for byte-reproducible proofs
+    (reference det-prove, `src/pfsys/mod.rs:436-439`); also settable via
+    EZKL_TPU_DET_SEED."""
     gc = load_compiled(compiled_path)
     arrays = _reshape_for(gc, _load_input(input_path, gc.model.input_scales()))
     s = _srs_for(gc, srs_path)
     pk = serde_mod.load_pk(pk_path)
     proof, _ = gc.prove(arrays, s, pk=pk,
-                        transcript=_make_transcript(transcript))
+                        transcript=_make_transcript(transcript), seed=seed)
     pathlib.Path(proof_path).write_text(proof.to_json())
     return proof
 
@@ -377,12 +380,17 @@ def verify_aggr(aggr_path="proof_aggr.json", vk_paths="vk.key",
 
 def create_evm_verifier(vk_path="vk.key", srs_path=None,
                         sol_path="Verifier.sol", settings_path=None,
-                        reusable: bool = False) -> str:
-    """Generate a standalone Solidity verifier contract for this circuit
-    (reference `create-evm-verifier`, `src/execute.rs:1306-1340`). Prove
-    with transcript='evm' for proofs the contract accepts. The zero-egress
-    environment has no solc/EVM; deployment/on-chain verification are left
-    to the user's toolchain (`forge create` / `cast call`).
+                        reusable: bool = False,
+                        n_inst: int | None = None) -> str:
+    """Generate the EVM verifier artifacts for this circuit (reference
+    `create-evm-verifier`, `src/execute.rs:1306-1340`). Prove with
+    transcript='evm' for proofs the contract accepts.
+
+    Always writes the Solidity source (for users with solc/foundry). When
+    the instance count is known (`n_inst`, or a proof.json sitting next to
+    `vk_path`), ALSO writes `<sol_path stem>.bin` — deployable initcode
+    emitted directly by `evm.bytecode` — which `deploy_evm`/`verify_evm`
+    run on the in-repo EVM (this build's anvil analog).
 
     reusable=True additionally writes `<sol_path stem>VKA.sol`: the
     verifier then takes the VKA data-contract address as its first
@@ -397,28 +405,88 @@ def create_evm_verifier(vk_path="vk.key", srs_path=None,
     else:
         s = srsmod.get_or_create(vk.k)
     sol = generate_verifier(vk, s.g2, s.s_g2, reusable=reusable)
-    pathlib.Path(sol_path).write_text(sol)
+    p = pathlib.Path(sol_path)
+    p.write_text(sol)
     if reusable:
         from .evm.solidity import generate_vka
-        p = pathlib.Path(sol_path)
         vka_path = p.with_name(p.stem + "VKA.sol")
         vka_path.write_text(generate_vka(vk, s.g2, s.s_g2))
+    if n_inst is None:
+        proof_near = p.parent / "proof.json"
+        if proof_near.exists():
+            pf = Proof.from_json(proof_near.read_text())
+            n_inst = sum(len(c) for c in pf.instances)
+    if n_inst is not None and not reusable:
+        from .evm import bytecode as bytecode_mod
+        rt = bytecode_mod.emit_verifier(vk, s.g2, s.s_g2, n_inst)
+        p.with_suffix(".bin").write_bytes(bytecode_mod.initcode(rt))
     return sol
 
 
-def deploy_evm(*_a, **_k):
-    raise RuntimeError(
-        "deploy-evm needs an RPC endpoint; this environment is zero-egress. "
-        "Compile Verifier.sol with solc/foundry and deploy with your own "
-        "toolchain (reference flow: src/eth.rs:162).")
+def deploy_evm(bin_path="Verifier.bin", addr_path="contract.addr",
+               chain_path="evm_chain.json", rpc_url=None) -> str:
+    """Deploy the bytecode verifier artifact (reference
+    `deploy_contract_via_solidity`, src/eth.rs:162).
+
+    With no RPC available (zero-egress build), the "chain" is the in-repo
+    EVM interpreter (`ezkl_tpu.evm.vm`) persisted to `chain_path` — the
+    local-devnet analog of the reference's anvil flow. The initcode runs
+    for real: the constructor's RETURN defines the deployed runtime code."""
+    if rpc_url is not None:
+        raise RuntimeError(
+            "deploy-evm to a live RPC endpoint needs network access; this "
+            "environment is zero-egress. Deploy Verifier.bin with your own "
+            "toolchain (reference flow: src/eth.rs:162), or omit rpc_url "
+            "to deploy on the in-repo EVM.")
+    from .evm import vm as evm_vm
+    initcode = pathlib.Path(bin_path).read_bytes()
+    E = _load_chain(evm_vm, chain_path)
+    addr = E.deploy(initcode)
+    _save_chain(E, chain_path)
+    pathlib.Path(addr_path).write_text(hex(addr))
+    return hex(addr)
 
 
-def verify_evm(*_a, **_k):
-    raise RuntimeError(
-        "verify-evm needs an RPC endpoint; this environment is zero-egress. "
-        "Call verifyProof(proof, instances) with the output of "
-        "encode_evm_calldata on your deployed contract "
-        "(reference flow: src/eth.rs:238).")
+def verify_evm(proof_path="proof.json", addr_path="contract.addr",
+               chain_path="evm_chain.json", rpc_url=None) -> bool:
+    """Verify a proof against the DEPLOYED verifier (reference
+    `verify_proof_via_solidity`, src/eth.rs:238): encode calldata, execute
+    the contract's code on the EVM, read the returned word."""
+    if rpc_url is not None:
+        raise RuntimeError(
+            "verify-evm against a live RPC endpoint needs network access; "
+            "omit rpc_url to verify on the in-repo EVM.")
+    from .evm import vm as evm_vm
+    calldata = encode_evm_calldata(proof_path, output=None)
+    addr = int(pathlib.Path(addr_path).read_text().strip(), 16)
+    E = _load_chain(evm_vm, chain_path)
+    try:
+        out = E.call(addr, calldata)
+    except evm_vm.EvmRevert:
+        return False
+    ok = out == (1).to_bytes(32, "big")
+    if not ok:
+        raise RuntimeError("proof rejected by on-chain verifier")
+    return True
+
+
+def _load_chain(evm_vm, chain_path):
+    E = evm_vm.EVM()
+    p = pathlib.Path(chain_path)
+    if p.exists():
+        state = json.loads(p.read_text())
+        for a, code in state.get("code", {}).items():
+            E.code[int(a, 16)] = bytes.fromhex(code)
+        E._next_addr = int(state.get("next_addr", "0x1000"), 16)
+    return E
+
+
+def _save_chain(E, chain_path):
+    state = {
+        "code": {hex(a): c.hex() for a, c in E.code.items()},
+        "next_addr": hex(E._next_addr),
+    }
+    pathlib.Path(chain_path).write_text(json.dumps(state))
 
 
 def gen_random_data(model_path, output="input.json", seed=0):

@@ -59,6 +59,16 @@ class GraphSettings:
     @classmethod
     def from_json(cls, s: str) -> "GraphSettings":
         d = json.loads(s)
+        got = d.get("version", "?")
+        if got != cls.version:
+            # soft warning, matching the reference's artifact
+            # version-mismatch check (`/root/reference/src/lib.rs:473-496`):
+            # old artifacts still load, but silent drift is surfaced
+            import warnings
+            warnings.warn(
+                f"settings artifact version {got!r} != current "
+                f"{cls.version!r}; regenerate with gen-settings if "
+                f"behavior differs", stacklevel=2)
         return cls(
             run_args=RunArgs.from_dict(d["run_args"]),
             num_rows=d["num_rows"],
@@ -109,15 +119,13 @@ class GraphCircuit:
                 ctx.instance_vals.append(hv)
                 ctx.copy_rows(cfg.instance, [base], span.col, span.rows)
         if ra.output_visibility == "kzgcommit":
-            # copy each output into a dedicated unblinded column; its
-            # advice commitment IS the public KZG commitment of the data
+            # copy each output into a dedicated unblinded column at
+            # canonical rows [0, size); its advice commitment IS the
+            # public KZG commitment of the data — placement-independent,
+            # so a downstream circuit committing the same tensor as its
+            # input produces the identical commitment (proof splitting)
             for tv in outputs:
-                col = cfg.polycommit_column()
-                flat = tv.ints.reshape(-1)
-                r = ctx.alloc(flat.size)
-                ctx.write(col, r, flat)
-                ctx.copy_rows(col, r + np.arange(flat.size),
-                              tv.span.col, tv.span.rows)
+                ctx.stage_polycommit(tv)
         if ra.input_visibility == "public":
             for tv in self._input_tvals(ctx):
                 flat = tv.ints.reshape(-1)
@@ -259,13 +267,15 @@ class GraphCircuit:
         pk = keygen.keygen(cfg.cs, self.run_args.logrows, srs, asg)
         return pk, asg
 
-    def prove(self, input_arrays, srs: srsmod.SRS, pk=None, transcript=None):
+    def prove(self, input_arrays, srs: srsmod.SRS, pk=None, transcript=None,
+              seed=None):
         if pk is None:
             pk, asg = self.setup(input_arrays, srs)
         else:
             cfg, ctx, _ = self.forward(input_arrays)
             asg = ctx.finalize()
-        return prover.create_proof(pk, srs, asg, transcript=transcript), pk
+        return prover.create_proof(pk, srs, asg, transcript=transcript,
+                                   seed=seed), pk
 
     @staticmethod
     def verify(vk, srs: srsmod.SRS, proof, transcript=None) -> bool:

@@ -162,3 +162,86 @@ def test_api_create_evm_verifier(tmp_path, monkeypatch, proven):
         api.deploy_evm()
     with pytest.raises(RuntimeError, match="zero-egress"):
         api.verify_evm()
+
+
+# ---------------------------------------------------------------------------
+# EVM EXECUTION: the bytecode artifact runs on the in-repo EVM interpreter
+# (reference runs generated Solidity on anvil, `src/eth.rs:238`,
+# `tests/integration_tests.rs:299-323`; here the artifact is emitted as
+# bytecode and executed — not validated through the Python twin)
+# ---------------------------------------------------------------------------
+
+def _calldata_of(proof):
+    import pathlib
+    import tempfile
+    from ezkl_tpu import api
+    with tempfile.TemporaryDirectory() as d:
+        p = pathlib.Path(d) / "proof.json"
+        p.write_text(proof.to_json())
+        return api.encode_evm_calldata(str(p), output=None)
+
+
+@pytest.fixture(scope="module")
+def deployed(proven):
+    from ezkl_tpu.evm import bytecode, vm as evm_vm
+    cs, pk, srs, proof = proven
+    n_inst = sum(len(c) for c in proof.instances)
+    rt = bytecode.emit_verifier(pk.vk, srs.g2, srs.s_g2, n_inst)
+    E = evm_vm.EVM()
+    addr = E.deploy(bytecode.initcode(rt))
+    assert E.code[addr] == rt, "constructor must return the runtime code"
+    return E, addr, proof
+
+
+def test_bytecode_accepts_valid_proof(deployed):
+    E, addr, proof = deployed
+    out = E.call(addr, _calldata_of(proof))
+    assert out == (1).to_bytes(32, "big")
+
+
+def test_bytecode_rejects_tampered_eval(deployed):
+    E, addr, proof = deployed
+    import dataclasses
+    bad_evals = dict(proof.evals)
+    klabel = sorted(bad_evals)[0]
+    bad_evals[klabel] = (bad_evals[klabel] + 1) % FR_MODULUS
+    bad = dataclasses.replace(proof, evals=bad_evals)
+    out = E.call(addr, _calldata_of(bad))
+    assert out != (1).to_bytes(32, "big")
+
+
+def test_bytecode_rejects_tampered_instance(deployed):
+    E, addr, proof = deployed
+    import dataclasses
+    bad = dataclasses.replace(
+        proof, instances=[[(proof.instances[0][0] + 1) % FR_MODULUS]])
+    out = E.call(addr, _calldata_of(bad))
+    assert out != (1).to_bytes(32, "big")
+
+
+def test_bytecode_rejects_tampered_commitment(deployed):
+    """An off-curve commitment point must REVERT (checkPoint), and an
+    on-curve-but-wrong point must fail the pairing."""
+    from ezkl_tpu.evm import vm as evm_vm
+    from ezkl_tpu.fieldmath import hostcurve as hc
+    E, addr, proof = deployed
+    data = bytearray(_calldata_of(proof))
+    # off-curve: x+1 keeps range but leaves the curve almost surely
+    x = int.from_bytes(data[0:32], "big")
+    data[0:32] = ((x + 1)).to_bytes(32, "big")
+    with pytest.raises(evm_vm.EvmRevert):
+        E.call(addr, bytes(data))
+    # on-curve wrong point: replace first advice commitment with 3*G
+    data = bytearray(_calldata_of(proof))
+    gx, gy = hc.g1_mul(hc.G1, 3)
+    data[0:32] = int(gx).to_bytes(32, "big")
+    data[32:64] = int(gy).to_bytes(32, "big")
+    out = E.call(addr, bytes(data))
+    assert out != (1).to_bytes(32, "big")
+
+
+def test_bytecode_rejects_bad_length(deployed):
+    from ezkl_tpu.evm import vm as evm_vm
+    E, addr, proof = deployed
+    with pytest.raises(evm_vm.EvmRevert):
+        E.call(addr, _calldata_of(proof)[:-1])
