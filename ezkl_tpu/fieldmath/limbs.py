@@ -646,6 +646,22 @@ _PL_BLK_NARROW = 128  # narrow block (padded up)
 _PL_MIN = 128        # below this flattened width, stay on the fused XLA core
 
 
+def pl_interpret() -> bool:
+    """EZKL_TPU_PALLAS_INTERPRET=1 runs every pallas kernel in interpret
+    mode — the only way to exercise the TPU kernel code paths (packed
+    gathers, in-kernel negation, fused scans) on a CPU-only test box."""
+    return _os.environ.get("EZKL_TPU_PALLAS_INTERPRET", "") \
+        not in ("", "0", "false")
+
+
+def pallas_call(*args, **kw):
+    """`pl.pallas_call` wrapper honoring EZKL_TPU_PALLAS_INTERPRET."""
+    from jax.experimental import pallas as _pl
+    if pl_interpret():
+        kw.setdefault("interpret", True)
+    return _pl.pallas_call(*args, **kw)
+
+
 def _use_pallas_field() -> bool:
     # pallas kernel tracing breaks under ensure_compile_time_eval (internal
     # jnp constants concretize into "captured constants"); precomputes that
@@ -679,7 +695,7 @@ def _pl_mul_call(spec: FieldSpec, n: int):
 
     spec_b = pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return pallas_call(
         kern, grid=(n // blk,), in_specs=[spec_b] * 2, out_specs=spec_b,
         out_shape=jax.ShapeDtypeStruct((NLIMBS, n), _U32))
 

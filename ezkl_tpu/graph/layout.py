@@ -226,6 +226,31 @@ class LayoutCtx:
         tv.span = Span.contiguous(col, r, size)
         return tv.span
 
+    def stage_polycommit(self, tv: TVal) -> Span:
+        """Stage tv's values in a DEDICATED unblinded column at rows
+        [0, size): the column's KZG commitment is then a canonical
+        commitment of the data alone — independent of where the
+        surrounding circuit's row cursor happens to be — so two circuits
+        committing the same boundary tensor produce byte-identical
+        commitments. That equality is the link proof-splitting relies on
+        (reference ProofSplitCommit + swap_proof_commitments,
+        `/root/reference/src/pfsys/mod.rs:317-373,492-554`)."""
+        col = self.cfg.polycommit_column()
+        flat = tv.ints.reshape(-1)
+        if flat.size > self.usable:
+            raise ValueError(
+                f"polycommit tensor needs {flat.size} rows, usable "
+                f"{self.usable} (k={self.k}); raise logrows")
+        self.write(col, 0, flat)
+        # the committed tensor bounds the circuit size like any region
+        self.row = max(self.row, int(flat.size))
+        span = Span.contiguous(col, 0, int(flat.size))
+        if tv.span is None:
+            tv.span = span                  # home IS the commitment column
+        else:
+            self.copy_rows(col, span.rows, tv.span.col, tv.span.rows)
+        return span
+
     def stage_operand(self, tv: TVal, col, row0: int, flat_idx: np.ndarray):
         """Write tv's elements (selected by flat_idx into tv.ints.reshape(-1))
         into `col` rows [row0, ...) and constrain equality to tv's home."""

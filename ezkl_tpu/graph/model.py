@@ -70,11 +70,25 @@ class Model:
         for ti, arr, in_scale in zip(g.inputs, input_arrays, self.input_scales()):
             q = quantize(arr, in_scale)
             tv = TVal(q, in_scale, None)
-            icol = (ctx.cfg.polycommit_column()
-                    if ra.input_visibility == "kzgcommit" else ctx.cfg.a0)
-            ctx.materialize(tv, col=icol)
+            if ra.input_visibility == "kzgcommit":
+                ctx.stage_polycommit(tv)     # canonical rows [0, size)
+            else:
+                ctx.materialize(tv, col=ctx.cfg.a0)
             values[ti.name] = tv
             ctx._input_tvals.append(tv)
+            # constrain-on-entry (reference Input op,
+            # `/root/reference/src/circuit/ops/mod.rs:195-262`, gated by
+            # RunArgs.ignore_range_check_inputs_outputs like the
+            # reference): bool inputs are bound to {0,1}; numeric inputs
+            # get a sign/digit decompose claim, so an out-of-range input
+            # value can never satisfy the circuit — without this, inputs
+            # enter as unconstrained advice
+            if not ra.ignore_range_check_inputs_outputs:
+                if ti.elem_type == 9:                 # ONNX BOOL
+                    ops.range_check(ctx, tv, 0, 1)
+                else:
+                    ops.decompose(ctx, tv, ra.decomp_base, ra.decomp_legs,
+                                  zero_sign_matters=False)
 
         # initializers: params, quantized at param_scale, lazily placed
         # (fixed visibility); hashed/kzgcommit params are placed in advice
@@ -90,7 +104,7 @@ class Model:
                 values[name] = TVal(arr.astype(np.int64), 0, None)
         if ra.param_visibility == "kzgcommit":
             for tv in ctx._param_tvals:
-                ctx.materialize(tv, col=ctx.cfg.polycommit_column())
+                ctx.stage_polycommit(tv)
         elif ra.param_visibility == "hashed":
             for tv in ctx._param_tvals:
                 ctx.materialize(tv, col=ctx.cfg.a0)

@@ -27,6 +27,10 @@ class RunArgs:
     decomp_legs: int = 2
     tolerance: float = 0.0
     disable_freivalds: bool = False
+    # skip the Input constrain-on-entry decompose (reference
+    # `ignore_range_check_inputs_outputs`, lib.rs RunArgs; default FALSE =
+    # inputs are range-bound as they enter the circuit)
+    ignore_range_check_inputs_outputs: bool = False
 
     def validate(self):
         if self.param_visibility == "public":

@@ -201,7 +201,7 @@ def _add_call(n: int):
     assert n % blk == 0
     spec = pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return limbs.pallas_call(
         _add_kernel,
         grid=(n // blk,),
         in_specs=[spec] * 6,
@@ -217,7 +217,7 @@ def _dbl_call(n: int):
     assert n % blk == 0
     spec = pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return limbs.pallas_call(
         _dbl_kernel,
         grid=(n // blk,),
         in_specs=[spec] * 3,
@@ -310,7 +310,7 @@ def _scan_call(m_blocks: int, steps: int, blk: int, mixed: bool):
 
     m = m_blocks * blk
     shape = jax.ShapeDtypeStruct((steps, NLIMBS, m), jnp.uint32)
-    return pl.pallas_call(
+    return limbs.pallas_call(
         kern, grid=(m_blocks, steps),
         in_specs=[spec_b] * n_in, out_specs=(spec_b,) * 3,
         out_shape=(shape,) * 3,
@@ -378,7 +378,7 @@ def _scan_call_packed(m_blocks: int, steps: int, blk: int):
 
     m = m_blocks * blk
     shape = jax.ShapeDtypeStruct((steps, NLIMBS, m), jnp.uint32)
-    return pl.pallas_call(
+    return limbs.pallas_call(
         kern, grid=(m_blocks, steps),
         in_specs=[spec_p, spec_p, spec_s], out_specs=(spec_o,) * 3,
         out_shape=(shape,) * 3,
@@ -488,7 +488,7 @@ def _fold_call(n_groups: int, n_chunks: int, blk: int, mixed: bool):
                 outs[2][i] = cz[i]
 
     shape = jax.ShapeDtypeStruct((n_groups, NLIMBS, blk), jnp.uint32)
-    return pl.pallas_call(
+    return limbs.pallas_call(
         kern, grid=(n_groups, n_chunks),
         in_specs=[in_spec] * n_in, out_specs=(out_spec,) * 3,
         out_shape=(shape,) * 3,
@@ -617,7 +617,7 @@ def _horner_call(W: int, c: int, width: int):
                 oz[i] = cz[i]
 
     shape = jax.ShapeDtypeStruct((NLIMBS, width), jnp.uint32)
-    return pl.pallas_call(
+    return limbs.pallas_call(
         kern, grid=(W, c + 1),
         in_specs=[in_spec] * 3, out_specs=(out_spec,) * 3,
         out_shape=(shape,) * 3,
@@ -683,7 +683,7 @@ def _dbln_call(c: int, width: int):
                 oz[i] = cz[i]
 
     shape = jax.ShapeDtypeStruct((NLIMBS, width), jnp.uint32)
-    return pl.pallas_call(
+    return limbs.pallas_call(
         kern, grid=(c,),
         in_specs=[io_spec] * 3, out_specs=(io_spec,) * 3,
         out_shape=(shape,) * 3,

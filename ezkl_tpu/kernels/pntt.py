@@ -45,7 +45,7 @@ def _bfly_call(spec: FieldSpec, n: int):
 
     spec_b = pl.BlockSpec((NLIMBS, blk), lambda i: (0, i),
                           memory_space=pltpu.VMEM)
-    return pl.pallas_call(
+    return limbs.pallas_call(
         kern, grid=(n // blk,), in_specs=[spec_b] * 3,
         out_specs=(spec_b, spec_b),
         out_shape=tuple(jax.ShapeDtypeStruct((NLIMBS, n), jnp.uint32)

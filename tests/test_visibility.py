@@ -18,6 +18,7 @@ needs_ref = pytest.mark.skipif(not REF.exists(), reason="reference not mounted")
 def make_gc(iv, ov, pv, model="1l_mlp"):
     # 1l_mlp: Gemm(weights+bias initializers) + Relu — exercises params
     ra = RunArgs(input_scale=2, param_scale=2, lookup_range=(-64, 64),
+                 decomp_base=32,       # small digit table keeps test k small
                  input_visibility=iv, output_visibility=ov,
                  param_visibility=pv)
     gc = GraphCircuit.from_onnx(str(REF / model / "network.onnx"), ra)
