@@ -128,6 +128,9 @@ def main(argv=None):
     _add_run_args(p)
     p = cmd("gen-random-data")
     p.add_argument("--seed", type=int, default=0)
+    p = cmd("split-model")
+    p.add_argument("--parts", type=int, default=2)
+    p.add_argument("--output-prefix", default=None)
 
     ns = ap.parse_args(argv)
     t0 = time.time()
@@ -214,6 +217,13 @@ def main(argv=None):
     elif c == "gen-random-data":
         api.gen_random_data(ns.model, ns.output or ns.data, ns.seed)
         print(f"random data -> {ns.output or ns.data}")
+    elif c == "split-model":
+        parts = api.split_model(ns.model, ns.data, parts=ns.parts,
+                                output_prefix=ns.output_prefix)
+        for path, ins, outs in parts:
+            print(f"{path}: inputs={ins} outputs={outs}")
+        print("prove each part with output/input kzgcommit visibility; "
+              "matching boundary commitments link the proofs")
 
 
 if __name__ == "__main__":

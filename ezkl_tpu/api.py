@@ -489,6 +489,97 @@ def _save_chain(E, chain_path):
     pathlib.Path(chain_path).write_text(json.dumps(state))
 
 
+def split_model(model_path, input_path=None, parts: int = 2,
+                output_prefix: str | None = None) -> list:
+    """Split a sequential ONNX model into `parts` linked sub-models for
+    proof splitting (reference proof_splitting notebook +
+    `ProofSplitCommit`, `src/pfsys/mod.rs:317-373`).
+
+    Cuts are placed at node boundaries where exactly ONE tensor crosses,
+    closest to an even node split. Prove part i with
+    output_visibility=kzgcommit and part i+1 with
+    input_visibility=kzgcommit: the boundary commitments are
+    byte-identical iff the tensors agree (canonical polycommit rows), so
+    verifying all parts + comparing commitments links the whole model —
+    this is also the capacity fallback for circuits that outgrow a single
+    2^26-row proof (the reference's column-overflow analog; on TPU,
+    splitting additionally parallelizes proving across chips and the
+    pieces fold to one pairing via `aggregate`).
+
+    Returns [(model_path_i, input_names, output_names)] per part and
+    writes `<prefix>_part<i>.onnx` (+ `<prefix>_part<i>_input.json` for
+    part 0 when input_path is given).
+    """
+    from .graph import onnx_writer as ow
+    from .graph.model import forward_float
+
+    m = Model.load(model_path, RunArgs())
+    g = m.onnx.graph
+    nodes = g.nodes
+    if len(nodes) < parts:
+        raise ValueError(f"model has {len(nodes)} nodes; cannot split into "
+                         f"{parts} parts")
+    init_names = set(g.initializers)
+    graph_outputs = [o.name for o in g.outputs]
+
+    # tensors crossing each node boundary b (between nodes[b-1] and nodes[b])
+    def crossing(b: int) -> list[str]:
+        produced = set()
+        for nd in nodes[:b]:
+            produced.update(nd.outputs)
+        needed = set(graph_outputs)
+        for nd in nodes[b:]:
+            needed.update(i for i in nd.inputs if i)
+        return sorted(produced & needed)
+
+    cuts = []
+    lo = 0
+    for p in range(1, parts):
+        target = round(len(nodes) * p / parts)
+        best = None
+        for b in range(lo + 1, len(nodes)):
+            x = crossing(b)
+            if len(x) == 1:
+                if best is None or abs(b - target) < abs(best[0] - target):
+                    best = (b, x[0])
+        if best is None or best[0] <= lo:
+            raise ValueError(
+                "no single-tensor cut boundary found (non-sequential graph); "
+                "split manually or reduce parts")
+        cuts.append(best)
+        lo = best[0]
+
+    # shapes of the cut tensors from a float forward
+    if input_path:
+        arrays = _reshape_for(GraphCircuit(m),
+                              _load_input(input_path, m.input_scales()))
+    else:
+        arrays = [np.zeros(s, np.float64) for s in m.input_shapes()]
+    _, vals = forward_float(m, arrays, return_all=True)
+
+    prefix = output_prefix or str(pathlib.Path(model_path).with_suffix(""))
+    bounds = [0] + [c[0] for c in cuts] + [len(nodes)]
+    results = []
+    for p in range(parts):
+        seg = nodes[bounds[p]:bounds[p + 1]]
+        in_names = ([i.name for i in g.inputs] if p == 0 else [cuts[p - 1][1]])
+        out_names = ([cuts[p][1]] if p < parts - 1 else graph_outputs)
+        inits = {nm: g.initializers[nm] for nd in seg
+                 for nm in nd.inputs if nm in init_names}
+        w_nodes = [ow.node(nd.op_type, nd.inputs, nd.outputs,
+                           name=nd.name, **nd.attrs) for nd in seg]
+        in_shapes = {nm: list(np.shape(vals[nm])) for nm in in_names}
+        out_shapes = {nm: list(np.shape(vals[nm])) for nm in out_names}
+        path = f"{prefix}_part{p}.onnx"
+        ow.save(path, w_nodes, in_shapes, out_shapes, inits)
+        results.append((path, in_names, out_names))
+    if input_path:
+        shutil_src = pathlib.Path(input_path)
+        pathlib.Path(f"{prefix}_part0_input.json").write_text(
+            shutil_src.read_text())
+    return results
+
+
 def gen_random_data(model_path, output="input.json", seed=0):
     gc = GraphCircuit.from_onnx(model_path, RunArgs())
     rng = np.random.default_rng(seed)

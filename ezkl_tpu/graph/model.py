@@ -1509,10 +1509,14 @@ def _erf(x):
     return np.vectorize(math.erf)(np.asarray(x, np.float64))
 
 
-def forward_float(model: "Model", input_arrays: list[np.ndarray]) -> list[np.ndarray]:
+def forward_float(model: "Model", input_arrays: list[np.ndarray],
+                  return_all: bool = False):
     """Plain float64 reference forward (no quantization) — the calibration
     ground truth (the reference uses tract `run_onnx_predictions`,
-    `model.rs:992-1026`; we evaluate the graph directly)."""
+    `model.rs:992-1026`; we evaluate the graph directly).
+
+    return_all=True additionally returns the full name->value dict (used
+    by `api.split_model` to size cut-boundary tensors)."""
     g = model.onnx.graph
     vals: dict[str, np.ndarray] = {}
     for ti, arr in zip(g.inputs, input_arrays):
@@ -1557,7 +1561,8 @@ def forward_float(model: "Model", input_arrays: list[np.ndarray]) -> list[np.nda
         else:
             raise NotImplementedError(f"float forward: op {op}")
         vals[node.outputs[0]] = out
-    return [vals[o.name] for o in g.outputs]
+    outs = [vals[o.name] for o in g.outputs]
+    return (outs, vals) if return_all else outs
 
 
 def _transposed(ctx, tv: TVal) -> TVal:

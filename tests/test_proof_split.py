@@ -77,3 +77,36 @@ def test_split_link_breaks_on_different_boundary(split_models):
     c_out = w1["processed_commitments"]["polycommit"][0]
     c_in = w2["processed_commitments"]["polycommit"][0]
     assert [int(v, 16) for v in c_out] != [int(v, 16) for v in c_in]
+
+
+def test_split_model_api(tmp_path):
+    """api.split_model cuts a sequential model at a single-tensor boundary;
+    parts compose to the original under the float forward."""
+    from ezkl_tpu import api
+    from ezkl_tpu.graph.model import Model, forward_float
+    d = tmp_path
+    r = np.random.default_rng(3)
+    w0 = r.uniform(-1, 1, (4, 4)).astype(np.float32)
+    w1 = r.uniform(-1, 1, (4, 4)).astype(np.float32)
+    w.save(d / "mlp.onnx",
+           [w.node("Gemm", ["x", "w0"], ["h0"], name="g0"),
+            w.node("Relu", ["h0"], ["a0_"], name="r0"),
+            w.node("Gemm", ["a0_", "w1"], ["h1"], name="g1"),
+            w.node("Relu", ["h1"], ["y"], name="r1")],
+           {"x": (1, 4)}, {"y": (1, 4)},
+           {"w0": w0.T.copy(), "w1": w1.T.copy()})
+    x = r.uniform(-1, 1, (1, 4))
+    (d / "input.json").write_text(json.dumps(
+        {"input_data": [x.reshape(-1).tolist()]}))
+    parts = api.split_model(str(d / "mlp.onnx"), str(d / "input.json"),
+                            parts=2)
+    assert len(parts) == 2
+    (p0, in0, out0), (p1, in1, out1) = parts
+    assert out0 == in1, "boundary tensor must link the parts"
+    m_full = Model.load(str(d / "mlp.onnx"), RunArgs())
+    m0 = Model.load(p0, RunArgs())
+    m1 = Model.load(p1, RunArgs())
+    want = forward_float(m_full, [x])[0]
+    mid = forward_float(m0, [x])[0]
+    got = forward_float(m1, [mid])[0]
+    assert np.allclose(got, want)
