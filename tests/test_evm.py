@@ -158,10 +158,17 @@ def test_api_create_evm_verifier(tmp_path, monkeypatch, proven):
     sol = api.create_evm_verifier("vk.key", "kzg.srs", "Verifier.sol")
     assert (tmp_path / "Verifier.sol").exists()
     assert "contract EzklTpuVerifier" in sol
+    # no n_inst known and no proof.json adjacent -> no bytecode artifact
+    assert not (tmp_path / "Verifier.bin").exists()
+    # full artifact flow: proof.json adjacent -> .bin emitted -> deploy ->
+    # on-EVM verify (the in-repo devnet analog; live RPC still refuses)
+    (tmp_path / "proof.json").write_text(proof.to_json())
+    api.create_evm_verifier("vk.key", "kzg.srs", "Verifier.sol")
+    assert (tmp_path / "Verifier.bin").exists()
+    api.deploy_evm("Verifier.bin", "contract.addr", "chain.json")
+    assert api.verify_evm("proof.json", "contract.addr", "chain.json")
     with pytest.raises(RuntimeError, match="zero-egress"):
-        api.deploy_evm()
-    with pytest.raises(RuntimeError, match="zero-egress"):
-        api.verify_evm()
+        api.deploy_evm(rpc_url="http://localhost:8545")
 
 
 # ---------------------------------------------------------------------------
