@@ -132,7 +132,14 @@ def main(argv=None):
     p.add_argument("--parts", type=int, default=2)
     p.add_argument("--output-prefix", default=None)
 
+    ap.add_argument("--log-level", default=None,
+                    choices=["trace", "debug", "info", "warn", "error", "off"],
+                    help="stderr log verbosity (default warn; also "
+                         "EZKL_TPU_LOG) — the reference's RUST_LOG analog")
     ns = ap.parse_args(argv)
+    if ns.log_level:
+        from .utils import log as _log
+        _log.set_level(ns.log_level)
     t0 = time.time()
     c = ns.cmd
 

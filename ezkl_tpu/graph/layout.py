@@ -198,6 +198,15 @@ class LayoutCtx:
         for i, v in enumerate(values):
             ov[row0 + i] = int(v)
 
+    def write_field_at(self, col, rows, values):
+        """Bulk overlay write at arbitrary rows: one C-speed dict.update
+        instead of a per-cell Python loop (hashed-visibility hot path)."""
+        self._arr(col)  # ensure column exists
+        ov = self._overlay.setdefault((col.kind, col.index), {})
+        if isinstance(rows, np.ndarray):
+            rows = rows.tolist()
+        ov.update(zip(rows, map(int, values)))
+
     def enable(self, gate: str, row0: int, size: int):
         self._arr(self.cfg.sel[gate])[row0:row0 + size] = 1
 

@@ -202,6 +202,10 @@ class Model:
                     orig = bias.ints.astype(np.float64) / (1 << bias.scale)
                     bias = TVal(quantize(orig, x.scale + w.scale),
                                 x.scale + w.scale, None)
+                elif bias is not None and bias.scale != x.scale + w.scale:
+                    d = x.scale + w.scale - bias.scale
+                    assert d > 0, "deconv bias scale above accumulator scale"
+                    bias = ops.const_mul(ctx, bias, 1 << d, d)
                 strides = tuple(node.attrs.get("strides", [1, 1]))
                 p = node.attrs.get("pads", [0, 0, 0, 0])
                 opad = tuple(node.attrs.get("output_padding", [0, 0]))
@@ -747,6 +751,14 @@ class Model:
         if bias is not None and bias.span is None:
             orig = bias.ints.astype(np.float64) / (1 << bias.scale)
             bias = TVal(quantize(orig, x.scale + w.scale), x.scale + w.scale, None)
+        elif bias is not None and bias.scale != x.scale + w.scale:
+            # hashed/kzgcommit params are placed (span set) at param_scale
+            # before ops run; rebase the committed bias UP in-circuit so the
+            # conv add sees matching scales (requantizing would break the
+            # public hash/commitment of the raw param values)
+            d = x.scale + w.scale - bias.scale
+            assert d > 0, f"conv bias scale {bias.scale} above {x.scale + w.scale}"
+            bias = ops.const_mul(ctx, bias, 1 << d, d)
         if groups == 1:
             out = ops.conv2d(ctx, x, w, bias, strides, padding,
                              ra.lookup_range, matmul_fn=self._matmul,

@@ -13,6 +13,8 @@ dequantize -> f64 function -> round-half-even requantize.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .layout import BaseConfig, LayoutCtx, Span, TVal
@@ -156,13 +158,54 @@ def _table_range(ctx: LayoutCtx, lookup_range) -> np.ndarray:
 
 def lookup_fn(ctx: LayoutCtx, name: str, a: TVal, fn, in_scale: int,
               out_scale: int, lookup_range) -> TVal:
-    """Generic quantized nonlinearity: out = quant(fn(dequant(in)))."""
+    """Generic quantized nonlinearity: out = quant(fn(dequant(in))).
+
+    Table values are memoized on disk keyed by the fully-qualified table
+    name (op + scales + range) — the analog of the reference's lookup-table
+    cache (`/root/reference/src/circuit/table.rs:31-39`). The build here is
+    one vectorized numpy pass, so the cache mostly saves the transcendental
+    evals of multi-million-row tables on repeat runs."""
     xs = _table_range(ctx, lookup_range)
-    with np.errstate(all="ignore"):
-        ys = quantize(fn(dequantize(xs, in_scale)), out_scale)
-    ys = np.nan_to_num(ys, nan=0.0, posinf=0, neginf=0).astype(np.int64)
     tname = f"{name}_si{in_scale}_so{out_scale}_r{lookup_range[0]}_{lookup_range[1]}"
+    ys = _table_cache_load(tname, xs.size)
+    if ys is None:
+        with np.errstate(all="ignore"):
+            ys = quantize(fn(dequantize(xs, in_scale)), out_scale)
+        ys = np.nan_to_num(ys, nan=0.0, posinf=0, neginf=0).astype(np.int64)
+        _table_cache_store(tname, ys)
     return ctx.apply_lookup(tname, xs, ys, a, out_scale)
+
+
+def _table_cache_dir():
+    import pathlib
+    import ezkl_tpu
+    return pathlib.Path(ezkl_tpu.cache_dir()).parent / "tables"
+
+
+def _table_cache_load(tname: str, n: int):
+    if os.environ.get("EZKL_TPU_NO_TABLE_CACHE"):
+        return None
+    f = _table_cache_dir() / f"{tname}.npy"
+    try:
+        ys = np.load(f, allow_pickle=False)
+        if ys.shape == (n,) and ys.dtype == np.int64:
+            return ys
+    except (OSError, ValueError):
+        pass
+    return None
+
+
+def _table_cache_store(tname: str, ys: np.ndarray):
+    if os.environ.get("EZKL_TPU_NO_TABLE_CACHE") or ys.size < (1 << 16):
+        return  # small tables rebuild faster than they load
+    d = _table_cache_dir()
+    try:
+        d.mkdir(parents=True, exist_ok=True)
+        tmp = d / f".{tname}.tmp"
+        np.save(tmp, ys, allow_pickle=False)
+        tmp.with_suffix(".tmp.npy").replace(d / f"{tname}.npy")
+    except OSError:
+        pass
 
 
 def relu(ctx, a: TVal, lookup_range) -> TVal:

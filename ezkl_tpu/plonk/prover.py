@@ -66,6 +66,9 @@ def _span(msg: str):
     global _PROG
     if _TRACE:
         print(f"[prover +{_time.time() - _t0:7.1f}s] {msg}", flush=True)
+    else:
+        from ..utils import log as _log
+        _log.debug("prover: %s", msg)
     if _PROG is not None:
         if msg == "done":
             _PROG.done()

@@ -128,3 +128,21 @@ def test_unblinded_column_is_deterministic_blinded_is_not():
         assert p1.advice_commitments[i] == p2.advice_commitments[i]
     assert any(p1.advice_commitments[i] != p2.advice_commitments[i]
                for i in blinded_idx)
+
+
+@needs_ref
+def test_hashed_params_on_conv_layer():
+    """Hashed visibility over a REAL conv layer's params (r4 verdict item
+    9): the committed bias is rebased up in-circuit (const_mul) to the conv
+    accumulator scale instead of being requantized (which would break the
+    public hash of the raw param values)."""
+    ra = RunArgs(param_visibility="hashed")
+    gc = GraphCircuit.from_onnx(str(REF / "1l_conv" / "network.onnx"), ra)
+    inp = json.loads((REF / "1l_conv" / "input.json").read_text())
+    x = np.array(inp["input_data"][0], np.float64).reshape(
+        gc.model.input_shapes()[0])
+    gc.gen_settings([x])
+    assert gc.mock_prove([x]) == []
+    cfg, ctx, _ = gc.forward([x])
+    # one public hash instance per param tensor (weights + bias)
+    assert len(ctx._param_tvals) == 2

@@ -132,8 +132,9 @@ def main():
             if "-v" in sys.argv:
                 traceback.print_exc()
             results[name] = dict(error=str(e))
-    report = pathlib.Path(__file__).resolve().parent / "corpus_report.json"
-    report.write_text(json.dumps(results, indent=1, default=str))
+        # incremental flush: a timeout mid-sweep still leaves a fresh report
+        report = pathlib.Path(__file__).resolve().parent / "corpus_report.json"
+        report.write_text(json.dumps(results, indent=1, default=str))
     ok = sum(1 for r in results.values() if "error" not in r)
     failures = [n for n, r in results.items()
                 if "error" in r
